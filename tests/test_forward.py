@@ -1,0 +1,150 @@
+"""End-to-end forward-pass tests: shapes, calibration, BER vs theory.
+
+Mirrors the reference's calibration/BER ctest category (CMakeLists.txt:
+117-131): QPSK-substitution BER at the operating point vs closed-form
+theory, and measured Eb/No consistency with the target (inference.py:187-229).
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from radae_tpu.config import RADAEConfig, flagship_config
+from radae_tpu.models.radae import RADAE
+from radae_tpu.models.core import distortion_loss
+
+
+def make_model(cfg):
+    model = RADAE(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def make_features(B, T, F, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((B, T, F)).astype(np.float32) * 0.3
+
+
+def test_forward_rate_rs_shapes():
+    cfg = RADAEConfig(feature_dim=20, latent_dim=80, EbNodB=10.0)
+    model, params = make_model(cfg)
+    B, T = 2, 120
+    feats = make_features(B, T, 20)
+    H = model.default_H(B, cfg.num_timesteps_at_rate_Rs(T))
+    out = model.forward(params, feats, H, key=jax.random.PRNGKey(1))
+    assert out["features_hat"].shape == (B, T, 20)
+    assert out["z_hat"].shape == (B, T // 4, 80)
+    loss = distortion_loss(feats, out["features_hat"])
+    assert np.all(np.isfinite(np.asarray(loss)))
+
+
+def test_forward_flagship_rate_fs_shapes():
+    cfg = flagship_config(EbNodB=10.0)
+    model, params = make_model(cfg)
+    B, T = 2, 120
+    feats = make_features(B, T, 21)
+    n_rs = cfg.num_timesteps_at_rate_Rs(T)
+    H = model.default_H(B, n_rs)
+    out = model.forward(params, feats, H, key=jax.random.PRNGKey(1))
+    assert out["features_hat"].shape == (B, T, 21)
+    n_fs = cfg.num_timesteps_at_rate_Fs(n_rs)
+    assert out["tx"].shape == (B, n_fs)
+    # PA bottleneck keeps |tx| < 1 => PAPR < ~1 dB headline property
+    assert float(jnp.abs(out["tx"]).max()) <= 1.0
+
+
+def ber_cfg(**kw):
+    """Configuration of the reference's calibration/BER tests: bottleneck 1,
+    rate Fs, pilots + CP + LS pilot EQ (model05 waveform,
+    test/inference_ber_awgn.sh:8-9)."""
+    base = dict(feature_dim=20, latent_dim=80, rate_Fs=True, pilots=True,
+                pilot_eq=True, eq_mean6=False, cyclic_prefix=0.004,
+                bottleneck=1, ber_test=True)
+    base.update(kw)
+    return RADAEConfig(**base)
+
+
+def test_measured_EbNo_matches_target_rate_fs():
+    """Measured Eb/No from tx power and sigma must hit the target
+    (reference printout math, inference.py:205-212).  ber_test mode gives
+    unit-energy QPSK symbols so the measurement is exact for bottleneck 1."""
+    cfg = ber_cfg(EbNodB=6.0)
+    model, params = make_model(cfg)
+    B, T = 1, 240
+    feats = make_features(B, T, 20)
+    H = model.default_H(B, cfg.num_timesteps_at_rate_Rs(T))
+    out = model.forward(params, feats, H, key=jax.random.PRNGKey(3))
+    tx = np.asarray(out["tx"])
+    S = (np.abs(tx) ** 2).mean()
+    N = float(np.asarray(out["sigma"]).flatten()[0]) ** 2
+    CNodB_meas = 10 * np.log10(S * cfg.Fs / N)
+    EbNodB_meas = CNodB_meas + 10 * np.log10(cfg.M / (cfg.Fs * cfg.Nc * cfg.bps))
+    assert abs(EbNodB_meas - 6.0) < 0.5
+
+
+def test_ber_no_noise_is_zero():
+    """No-noise BER must be exactly zero (ctest inference_ber,
+    CMakeLists.txt:117-121)."""
+    cfg = ber_cfg(EbNodB=100.0)
+    model, params = make_model(cfg)
+    B, T = 1, 240
+    feats = make_features(B, T, 20)
+    H = model.default_H(B, cfg.num_timesteps_at_rate_Rs(T))
+    out = model.forward(params, feats, H, key=jax.random.PRNGKey(4))
+    assert int(out["n_errors"]) == 0
+
+
+def test_ber_awgn_vs_theory_rate_rs():
+    """QPSK BER at Eb/No = 0 dB vs 0.5*erfc(sqrt(EbNo)), 2 dB budget
+    (reference: test/inference_ber_awgn.sh:5-13)."""
+    cfg = RADAEConfig(feature_dim=20, latent_dim=80, EbNodB=0.0, ber_test=True)
+    model, params = make_model(cfg)
+    B, T = 2, 240
+    feats = make_features(B, T, 20)
+    H = model.default_H(B, cfg.num_timesteps_at_rate_Rs(T))
+    out = model.forward(params, feats, H, key=jax.random.PRNGKey(5))
+    ber = float(out["n_errors"]) / out["n_bits"]
+    theory = 0.5 * math.erfc(math.sqrt(10 ** (0.0 / 10)))
+    budget = 0.5 * math.erfc(math.sqrt(10 ** (-2.0 / 10)))
+    assert ber < budget, (ber, theory, budget)
+    assert ber > theory * 0.5
+
+
+def test_ber_awgn_vs_theory_rate_fs_pilots():
+    """Rate-Fs path with pilots + CP + LS pilot EQ at Eb/No = 0 dB, ideal
+    sync: BER within the 2 dB implementation-loss budget of QPSK theory
+    (test/inference_ber_awgn.sh:5-13)."""
+    cfg = ber_cfg(EbNodB=0.0)
+    model, params = make_model(cfg)
+    B, T = 2, 240
+    feats = make_features(B, T, 20)
+    H = model.default_H(B, cfg.num_timesteps_at_rate_Rs(T))
+    out = model.forward(params, feats, H, key=jax.random.PRNGKey(6))
+    ber = float(out["n_errors"]) / out["n_bits"]
+    budget = 0.5 * math.erfc(math.sqrt(10 ** (-2.0 / 10)))
+    assert ber < budget, (ber, budget)
+
+
+def test_forward_jits():
+    cfg = flagship_config(EbNodB=10.0)
+    model, params = make_model(cfg)
+    B, T = 1, 120
+    feats = make_features(B, T, 21)
+    H = model.default_H(B, cfg.num_timesteps_at_rate_Rs(T))
+
+    fwd = jax.jit(lambda p, f, h, k: model.forward(p, f, h, key=k)["features_hat"])
+    out = fwd(params, feats, H, jax.random.PRNGKey(0))
+    assert out.shape == (B, T, 21)
+
+
+def test_bottleneck2():
+    cfg = RADAEConfig(feature_dim=20, latent_dim=80, EbNodB=10.0, bottleneck=2)
+    model, params = make_model(cfg)
+    B, T = 1, 120
+    feats = make_features(B, T, 20)
+    H = model.default_H(B, cfg.num_timesteps_at_rate_Rs(T))
+    out = model.forward(params, feats, H, key=jax.random.PRNGKey(7))
+    assert out["features_hat"].shape == (B, T, 20)
