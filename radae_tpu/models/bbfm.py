@@ -22,9 +22,10 @@ class BBFM:
         self.core_decoder = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
 
     def init(self, key):
-        ke, kd = jax.random.split(key)
-        return {"encoder": self.core_encoder.init(ke),
-                "decoder": self.core_decoder.init(kd)}
+        from .layers import as_rng
+        rng = as_rng(key)
+        return {"encoder": self.core_encoder.init(rng),
+                "decoder": self.core_decoder.init(rng)}
 
     def _noise_key(self, key):
         return key if (key is not None and self.cfg.quant_noise) else None

@@ -71,13 +71,13 @@ class CoreEncoder:
         self.input_dim = FRAMES_PER_STEP * feature_dim
 
     def init(self, key) -> Params:
-        ks = iter(jax.random.split(key, 16))
-        p: Params = {"dense_1": L.init_dense(next(ks), self.input_dim, 64)}
+        rng = L.as_rng(key)   # host-side init; see layers.py
+        p: Params = {"dense_1": L.init_dense(rng, self.input_dim, 64)}
         for i, ((gin, gh), (cin, cout, _)) in enumerate(
                 zip(_ENC_GRU_DIMS, _ENC_CONV_DIMS), start=1):
-            p[f"gru{i}"] = L.init_gru(next(ks), gin, gh)
-            p[f"conv{i}"] = L.init_conv2tap(next(ks), cin, cout)
-        p["z_dense"] = L.init_dense(next(ks), _ENC_CAT_DIM, self.output_dim)
+            p[f"gru{i}"] = L.init_gru(rng, gin, gh)
+            p[f"conv{i}"] = L.init_conv2tap(rng, cin, cout)
+        p["z_dense"] = L.init_dense(rng, _ENC_CAT_DIM, self.output_dim)
         return p
 
     def zero_state(self, batch: int, dtype=jnp.float32) -> State:
@@ -134,14 +134,14 @@ class CoreDecoder:
         self.output_dim = output_dim
 
     def init(self, key) -> Params:
-        ks = iter(jax.random.split(key, 22))
-        p: Params = {"dense_1": L.init_dense(next(ks), self.input_dim, 96)}
+        rng = L.as_rng(key)   # host-side init; see layers.py
+        p: Params = {"dense_1": L.init_dense(rng, self.input_dim, 96)}
         for i, ((gin, gh), (cin, cout, _)) in enumerate(
                 zip(_DEC_GRU_DIMS, _DEC_CONV_DIMS), start=1):
-            p[f"gru{i}"] = L.init_gru(next(ks), gin, gh)
-            p[f"glu{i}"] = L.init_glu(next(ks), gh)
-            p[f"conv{i}"] = L.init_conv2tap(next(ks), cin, cout)
-        p["output"] = L.init_dense(next(ks), _DEC_CAT_DIM,
+            p[f"gru{i}"] = L.init_gru(rng, gin, gh)
+            p[f"glu{i}"] = L.init_glu(rng, gh)
+            p[f"conv{i}"] = L.init_conv2tap(rng, cin, cout)
+        p["output"] = L.init_dense(rng, _DEC_CAT_DIM,
                                    FRAMES_PER_STEP * self.output_dim)
         return p
 

@@ -32,15 +32,39 @@ def quant_noise(key, x):
 
 
 # ---------------------------------------------------------------------------
+# Initialisation
+#
+# All parameter init happens host-side in numpy: device RNG dispatch is an
+# eager op per tensor, which is pathologically slow through a remote-compile
+# TPU runtime, and init-time numerics don't belong on the accelerator.
+# `as_rng` turns a jax PRNG key (or int) into a numpy Generator.
+# ---------------------------------------------------------------------------
+
+def as_rng(key_or_seed) -> np.random.Generator:
+    if isinstance(key_or_seed, np.random.Generator):
+        return key_or_seed
+    if isinstance(key_or_seed, (int, np.integer)):
+        return np.random.default_rng(key_or_seed)
+    data = np.asarray(jax.random.key_data(key_or_seed)).flatten()
+    return np.random.default_rng(np.random.SeedSequence(data.tolist()))
+
+
+def _uniform(rng, shape, bound, dtype):
+    # returns numpy: init stays off-device; transfer once via
+    # utils.hostio.device_put_tree
+    return rng.uniform(-bound, bound, shape).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
 # Dense
 # ---------------------------------------------------------------------------
 
 def init_dense(key, in_dim, out_dim, dtype=jnp.float32):
-    kw, kb = jax.random.split(key)
+    rng = as_rng(key)
     bound = 1.0 / np.sqrt(in_dim)
     return {
-        "w": jax.random.uniform(kw, (out_dim, in_dim), dtype, -bound, bound),
-        "b": jax.random.uniform(kb, (out_dim,), dtype, -bound, bound),
+        "w": _uniform(rng, (out_dim, in_dim), bound, dtype),
+        "b": _uniform(rng, (out_dim,), bound, dtype),
     }
 
 
@@ -53,25 +77,25 @@ def dense(params, x):
 # ---------------------------------------------------------------------------
 
 def init_gru(key, in_dim, hidden, dtype=jnp.float32):
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    rng = as_rng(key)
     bound = 1.0 / np.sqrt(hidden)
-    w_hh = _orthogonal(k2, (3 * hidden, hidden), dtype)  # reference init_weights
     return {
-        "w_ih": jax.random.uniform(k1, (3 * hidden, in_dim), dtype, -bound, bound),
-        "w_hh": w_hh,
-        "b_ih": jax.random.uniform(k3, (3 * hidden,), dtype, -bound, bound),
-        "b_hh": jax.random.uniform(k4, (3 * hidden,), dtype, -bound, bound),
+        "w_ih": _uniform(rng, (3 * hidden, in_dim), bound, dtype),
+        # orthogonal recurrent weights (reference init_weights)
+        "w_hh": _orthogonal(rng, (3 * hidden, hidden), dtype),
+        "b_ih": _uniform(rng, (3 * hidden,), bound, dtype),
+        "b_hh": _uniform(rng, (3 * hidden,), bound, dtype),
     }
 
 
-def _orthogonal(key, shape, dtype):
-    # orthogonal init of recurrent weights (reference: radae_base.py:72-77)
+def _orthogonal(rng, shape, dtype):
+    # orthogonal init (reference: radae_base.py:72-77), computed on host
     rows, cols = shape
     n = max(rows, cols)
-    a = jax.random.normal(key, (n, n), jnp.float32)
-    q, r = jnp.linalg.qr(a)
-    q = q * jnp.sign(jnp.diagonal(r))
-    return q[:rows, :cols].astype(dtype)
+    a = rng.standard_normal((n, n))
+    q, r = np.linalg.qr(a)
+    q = q * np.sign(np.diagonal(r))
+    return np.asarray(q[:rows, :cols], dtype)
 
 
 def gru_cell(params, x_gates, h):
@@ -121,12 +145,12 @@ def gru_zero_state(batch, hidden, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 def init_conv2tap(key, in_dim, out_dim, dtype=jnp.float32):
-    kw, kb = jax.random.split(key)
+    rng = as_rng(key)
     bound = 1.0 / np.sqrt(in_dim * 2)
     return {
         # torch Conv1d layout (out, in, k) kept for checkpoint conversion
-        "w": jax.random.uniform(kw, (out_dim, in_dim, 2), dtype, -bound, bound),
-        "b": jax.random.uniform(kb, (out_dim,), dtype, -bound, bound),
+        "w": _uniform(rng, (out_dim, in_dim, 2), bound, dtype),
+        "b": _uniform(rng, (out_dim,), bound, dtype),
     }
 
 
@@ -163,8 +187,8 @@ def conv2tap_zero_state(batch, in_dim, dilation, dtype=jnp.float32):
 def init_glu(key, feat, dtype=jnp.float32):
     # gate initialised orthogonal, stored in weight-norm (g, v) form
     # (reference: radae_base.py:132-153)
-    v = _orthogonal(key, (feat, feat), dtype)
-    g = jnp.linalg.norm(v, axis=1)
+    v = _orthogonal(as_rng(key), (feat, feat), dtype)
+    g = np.linalg.norm(v, axis=1).astype(dtype)
     return {"v": v, "g": g}
 
 

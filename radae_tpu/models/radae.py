@@ -35,18 +35,21 @@ class RADAE:
 
     # -- parameters --------------------------------------------------------
     def init(self, key) -> Dict:
-        ke, kd = jax.random.split(key)
-        return {"encoder": self.core_encoder.init(ke),
-                "decoder": self.core_decoder.init(kd)}
+        from .layers import as_rng
+        rng = as_rng(key)
+        return {"encoder": self.core_encoder.init(rng),
+                "decoder": self.core_decoder.init(rng)}
 
-    # -- helpers -----------------------------------------------------------
+    # -- helpers (host-side numpy: eager device ops on complex dtypes are
+    # not portable across TPU runtimes) --------------------------------------
     def default_G(self, num_batches: int, n_fs: int):
         """Benign (AWGN) Doppler gains G1=1, G2=0."""
-        G = jnp.zeros((num_batches, n_fs, 2), jnp.complex64)
-        return G.at[:, :, 0].set(1.0)
+        G = np.zeros((num_batches, n_fs, 2), np.complex64)
+        G[:, :, 0] = 1.0
+        return G
 
     def default_H(self, num_batches: int, n_rs: int):
-        return jnp.ones((num_batches, n_rs, self.cfg.Nc), jnp.float32)
+        return np.ones((num_batches, n_rs, self.cfg.Nc), np.float32)
 
     def _noise_key(self, key):
         return key if (key is not None and self.cfg.quant_noise) else None

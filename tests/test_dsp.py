@@ -1,0 +1,174 @@
+"""DSP layer tests: BPF, acquisition, streaming tx->rx loopback, RRC,
+single-carrier modem (mirrors reference ctest categories 5, 11, 12)."""
+
+import numpy as np
+import pytest
+
+from radae_tpu.config import flagship_config
+from radae_tpu.dsp.bpf import ComplexBPF, bpf_self_test
+from radae_tpu.dsp.acquisition import Acquisition
+from radae_tpu.dsp.streaming import TransmitterOne, ReceiverOne
+from radae_tpu.dsp.rrc import gen_rn_coeffs, sample_clock_offset
+from radae_tpu.dsp.single_carrier import SingleCarrier
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return flagship_config()
+
+
+@pytest.fixture(scope="module")
+def acq(cfg):
+    return Acquisition(cfg.Fs, cfg.Rs, cfg.M, cfg.Ncp, cfg.Nmf,
+                       cfg.p, cfg.pend)
+
+
+def test_complex_bpf():
+    """-40 dB image rejection + chunked == whole-file (ctest complex_bpf_test,
+    reference dsp.py:104-149)."""
+    assert bpf_self_test()
+
+
+def make_pilot_stream(cfg, offset, freq_hz=0.0, snr_gain=1.0, rng=None):
+    """Synthetic stream of repeated pilot-led modem frames."""
+    if rng is None:
+        rng = np.random.default_rng(0)
+    n = 3 * cfg.Nmf + cfg.M + cfg.Ncp
+    sig = np.zeros(n + offset, np.complex64)
+    frame = np.zeros(cfg.Nmf, np.complex64)
+    frame[: cfg.M + cfg.Ncp] = cfg.p_cp * cfg.pilot_gain
+    # random data symbols in the rest of the frame
+    nds = cfg.Ns * (cfg.M + cfg.Ncp)
+    frame[cfg.M + cfg.Ncp:] = (0.5 * (rng.standard_normal(nds)
+                                      + 1j * rng.standard_normal(nds)))
+    for i in range(4):
+        st = offset + i * cfg.Nmf
+        en = min(st + cfg.Nmf, n + offset)
+        if st < len(sig):
+            sig[st:en] = frame[: en - st]
+    sig = sig[: n]
+    if freq_hz:
+        sig = sig * np.exp(1j * 2 * np.pi * freq_hz
+                           * np.arange(n) / cfg.Fs).astype(np.complex64)
+    return snr_gain * sig
+
+
+def test_acquisition_detects_pilots(cfg, acq):
+    offset = 333
+    rx = make_pilot_stream(cfg, offset)
+    buf = rx[: 2 * cfg.Nmf + cfg.M + cfg.Ncp]
+    candidate, tmax, fmax = acq.detect_pilots(buf)
+    assert candidate
+    # tmax points at the M samples after the CP
+    assert abs(tmax - (offset + cfg.Ncp)) <= 2
+    assert abs(fmax) <= 2.5
+
+
+def test_acquisition_freq_offset(cfg, acq):
+    offset, foff = 100, 30.0
+    rx = make_pilot_stream(cfg, offset, freq_hz=foff)
+    candidate, tmax, fmax = acq.detect_pilots(rx[: 2 * cfg.Nmf + cfg.M + cfg.Ncp])
+    assert candidate
+    assert abs(fmax - foff) <= 2.5
+
+
+def test_acquisition_rejects_noise(cfg, acq):
+    """Must NOT acquire on noise (ctest acq_noise, CMakeLists.txt:191-199)."""
+    rng = np.random.default_rng(5)
+    n = 2 * cfg.Nmf + cfg.M + cfg.Ncp
+    hits = 0
+    for trial in range(5):
+        noise = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+        candidate, _, _ = acq.detect_pilots(noise)
+        hits += int(candidate)
+    assert hits == 0
+
+
+def test_acquisition_rejects_sine(cfg, acq):
+    """Must NOT acquire on a sine-only input (ctest acq_sine)."""
+    n = 2 * cfg.Nmf + cfg.M + cfg.Ncp
+    sine = np.exp(1j * 2 * np.pi * 1000 * np.arange(n) / cfg.Fs).astype(np.complex64)
+    candidate, _, _ = acq.detect_pilots(sine)
+    assert not candidate
+
+
+def test_acquisition_refine(cfg, acq):
+    offset, foff = 200, 10.3
+    rx = make_pilot_stream(cfg, offset, freq_hz=foff)
+    buf = rx[: 2 * cfg.Nmf + cfg.M + cfg.Ncp]
+    _, tmax, fmax = acq.detect_pilots(buf)
+    tmax, fmax = acq.refine(buf, tmax, fmax,
+                            np.arange(max(0, tmax - 8), tmax + 8),
+                            np.arange(fmax - 10, fmax + 10, 0.25))
+    assert abs(tmax - (offset + cfg.Ncp)) <= 1
+    assert abs(fmax - foff) <= 0.3
+
+
+def test_streaming_tx_rx_loopback(cfg):
+    """transmitter_one -> receiver_one loopback recovers z (within the EQ +
+    PA-saturation tolerance of the coarse-mag path)."""
+    rng = np.random.default_rng(1)
+    tx1 = TransmitterOne(cfg)
+    rx1 = ReceiverOne(cfg)
+    nz = cfg.Nzmf
+    # large z so bottleneck-3 signal drives the PA like a trained model
+    zs = [np.sign(rng.standard_normal((1, nz, cfg.latent_dim))).astype(np.float32)
+          for _ in range(3)]
+    stream = np.concatenate([tx1.transmit(z) for z in zs])
+    # decode frame 0 and 1 (each needs the next frame's pilot)
+    for i in range(2):
+        seg = stream[i * cfg.Nmf: i * cfg.Nmf + cfg.Nmf + cfg.M + cfg.Ncp]
+        z_hat = rx1.receive(seg)
+        err = np.sign(z_hat) != zs[i]
+        assert err.mean() < 0.01, f"frame {i}: sign error rate {err.mean()}"
+
+
+def test_receiver_one_snr_estimator(cfg):
+    """SNR estimate responds in the right direction to added noise."""
+    rng = np.random.default_rng(2)
+    tx1 = TransmitterOne(cfg)
+    z = np.sign(rng.standard_normal((1, cfg.Nzmf, cfg.latent_dim))).astype(np.float32)
+    stream = np.concatenate([tx1.transmit(z) for _ in range(8)])
+
+    def run(snr_sigma):
+        r = ReceiverOne(cfg)
+        noisy = stream + snr_sigma * (rng.standard_normal(len(stream))
+                                      + 1j * rng.standard_normal(len(stream)))
+        for i in range(6):
+            seg = noisy[i * cfg.Nmf: i * cfg.Nmf + cfg.Nmf + cfg.M + cfg.Ncp]
+            r.receive(seg.astype(np.complex64))
+        return r.snrdB_3k_est
+
+    assert run(0.01) > run(0.3)
+
+
+def test_rrc_filter():
+    rrc = gen_rn_coeffs(0.25, 1 / 9600, 2400, 6, 4)
+    assert len(rrc) == 24
+    # cascaded RRC ~ raised cosine: zero ISI at symbol spacing of the
+    # combined response
+    rc = np.convolve(rrc, rrc)
+    centre = np.argmax(np.abs(rc))
+    side = [rc[centre + 4 * k] for k in (-2, -1, 1, 2)]
+    assert np.max(np.abs(side)) < 0.05 * np.abs(rc[centre])
+
+
+def test_sample_clock_offset():
+    n = 8000
+    tx = np.exp(1j * 2 * np.pi * 100 * np.arange(n) / 8000).astype(np.complex64)
+    rx = sample_clock_offset(tx, 100)
+    # 100 ppm over 8000 samples shifts by 0.8 samples; signal preserved
+    assert len(rx) == n
+    err = np.abs(rx[:4000] - tx[:4000]).mean()
+    assert err < 0.1
+
+
+def test_single_carrier_baseline():
+    """Clean-channel BER 0 (first case of single_carrier_tests,
+    reference dsp.py:937)."""
+    assert SingleCarrier().run_test(Nframes=10)
+
+
+def test_single_carrier_clock_offset():
+    assert SingleCarrier().run_test(Nframes=30, sample_clock_offset_ppm=100)
+    assert SingleCarrier().run_test(Nframes=30, sample_clock_offset_ppm=-100)
