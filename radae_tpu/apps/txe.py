@@ -92,15 +92,15 @@ class RadaeTx:
         if cfg.bottleneck == 2:
             tx_sym = ofdm.magnitude_bottleneck(tx_sym)
         tx_sym = tx_sym.reshape(1, self.n_rs, cfg.Nc)
-        tx_sym = ofdm.insert_pilots(tx_sym, jnp.asarray(cfg.P),
-                                    cfg.pilot_gain, cfg.Ns)
+        tx_sym = ofdm.insert_pilots(tx_sym, cfg.P, cfg.pilot_gain, cfg.Ns)
         tx = ofdm.idft(tx_sym, cfg.Winv)
         tx = ofdm.add_cp(tx, cfg.Ncp)
-        tx = tx.reshape(-1)
+        tx = tx.reshape(1, -1)
         if cfg.bottleneck == 3:
             tx = ofdm.magnitude_bottleneck(tx)
-        # interleave for complex-safe readback
-        return jnp.stack([tx.real, tx.imag], -1), state
+        # interleaved (re, im) packing for complex-safe readback
+        from ..ops import cplx
+        return cplx.stack_last(tx.reshape(-1)), state
 
     def _mod_z(self, z):
         """bypass_enc path: modulate externally-supplied latents."""

@@ -5,7 +5,11 @@ Functional equivalent of the reference RADAE module's forward pass
 (radae.py:387-428) and the pilot-correlation SNR estimator (radae.py:433-439),
 re-expressed as pure jittable functions over (params, inputs, PRNG key).
 All configuration is static (closed over from RADAEConfig) so XLA sees fixed
-shapes and control flow.
+shapes and control flow; all complex math runs split-complex (ops/cplx.py)
+so it lowers to plain float VPU/MXU ops.
+
+Complex-valued outputs in the forward dict (tx_sym, tx, rx, final_phase)
+are cplx.C pairs; convert with cplx.to_c64 on host.
 """
 
 from __future__ import annotations
@@ -17,10 +21,28 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import RADAEConfig
-from ..ops import ofdm, pilots as pilots_ops
+from ..ops import cplx, ofdm, pilots as pilots_ops
+from ..ops.cplx import C
 from ..channel.simulate import (
     draw_EbNodB, rate_fs_channel, rate_rs_channel, complex_normal)
 from .core import CoreEncoder, CoreDecoder
+
+
+def _as_C(x, packed_ndim=None) -> Optional[C]:
+    """Accept a C, a host complex numpy array, a packed (..., 2) float
+    array, or a traced complex array."""
+    if x is None:
+        return None
+    if isinstance(x, C):
+        return x
+    if isinstance(x, np.ndarray) and np.iscomplexobj(x):
+        return cplx.of(x)
+    x = jnp.asarray(x)
+    if jnp.iscomplexobj(x):
+        return C(x.real, x.imag)
+    # packed float: trailing interleave axis
+    assert x.shape[-1] == 2, "packed complex arrays must end in (re, im)"
+    return cplx.from_last(x)
 
 
 class RADAE:
@@ -40,12 +62,11 @@ class RADAE:
         return {"encoder": self.core_encoder.init(rng),
                 "decoder": self.core_decoder.init(rng)}
 
-    # -- helpers (host-side numpy: eager device ops on complex dtypes are
-    # not portable across TPU runtimes) --------------------------------------
+    # -- helpers (host-side numpy) -----------------------------------------
     def default_G(self, num_batches: int, n_fs: int):
-        """Benign (AWGN) Doppler gains G1=1, G2=0."""
-        G = np.zeros((num_batches, n_fs, 2), np.complex64)
-        G[:, :, 0] = 1.0
+        """Benign (AWGN) Doppler gains G1=1, G2=0, packed (B, N, 2, 2) f32."""
+        G = np.zeros((num_batches, n_fs, 2, 2), np.float32)
+        G[:, :, 0, 0] = 1.0
         return G
 
     def default_H(self, num_batches: int, n_rs: int):
@@ -55,11 +76,11 @@ class RADAE:
         return key if (key is not None and self.cfg.quant_noise) else None
 
     # -- transmitter side --------------------------------------------------
-    def transmitter(self, z, num_timesteps_at_rate_Rs: int):
+    def transmitter(self, z, num_timesteps_at_rate_Rs: int) -> C:
         """Latents -> rate-Fs time-domain samples (pilots + CP + PA model).
 
-        z: (B, Tz, latent_dim) -> tx (B, N) complex64.  Mirrors the tx half
-        of the reference forward() (radae.py:480-527)."""
+        z: (B, Tz, latent_dim) -> tx C(B, N).  Mirrors the tx half of the
+        reference forward() (radae.py:480-527)."""
         cfg = self.cfg
         B = z.shape[0]
         tx_sym = ofdm.qpsk_map(z)
@@ -68,8 +89,7 @@ class RADAE:
         tx_sym = tx_sym.reshape(B, num_timesteps_at_rate_Rs, cfg.Nc)
         n_rs = num_timesteps_at_rate_Rs
         if cfg.pilots:
-            tx_sym = ofdm.insert_pilots(tx_sym, jnp.asarray(cfg.P),
-                                        cfg.pilot_gain, cfg.Ns)
+            tx_sym = ofdm.insert_pilots(tx_sym, cfg.P, cfg.pilot_gain, cfg.Ns)
             n_rs = tx_sym.shape[1]
         tx = ofdm.idft(tx_sym, cfg.Winv)
         tx = ofdm.add_cp(tx, cfg.Ncp)
@@ -85,11 +105,12 @@ class RADAE:
         Args:
           features: (B, T10ms, feature_dim)
           H: (B, T_Rs, Nc) rate-Rs fade magnitudes (data symbols only)
-          G: (B, N_Fs, 2) rate-Fs Doppler gains (required when rate_Fs)
+          G: rate-Fs Doppler gains — C, complex numpy (B,N,2), or packed
+             float (B,N,2,2) (required when rate_Fs; default_G otherwise)
           key: PRNG key driving channel noise, Eb/No draws and quantization
-               noise; None = deterministic (no noise at all, for testing).
-        Returns dict with features_hat, z_hat, tx_sym, tx, rx, sigma, EbNodB
-        (reference: radae.py:457-669).
+               noise; None = fixed seed.
+        Returns dict with features_hat, z, z_hat, tx_sym, tx, rx, sigma,
+        EbNodB, final_phase (reference: radae.py:457-669).
         """
         cfg = self.cfg
         B, T, _ = features.shape
@@ -115,13 +136,12 @@ class RADAE:
         n_rs = n_rs_data
         num_modem_frames = n_rs_data // cfg.Ns
         if cfg.pilots:
-            tx_sym = ofdm.insert_pilots(tx_sym, jnp.asarray(cfg.P),
-                                        cfg.pilot_gain, cfg.Ns)
+            tx_sym = ofdm.insert_pilots(tx_sym, cfg.P, cfg.pilot_gain, cfg.Ns)
             n_rs = tx_sym.shape[1]
 
         tx_before_channel = None
         rx = None
-        final_phase = jnp.ones((B,), jnp.complex64)
+        final_phase = C(jnp.ones((B,)), jnp.zeros((B,)))
         if cfg.rate_Fs:
             # --- simulate at M samples per symbol (radae.py:505-602) ------
             tx = ofdm.idft(tx_sym, cfg.Winv)
@@ -132,9 +152,10 @@ class RADAE:
                 tx = ofdm.magnitude_bottleneck(tx)
             tx_before_channel = tx
 
-            if G is None:
-                G = self.default_G(B, n_fs)
-            rx, sigma, final_phase = rate_fs_channel(cfg, k_chan, tx, G, EbNodB)
+            Gc = _as_C(G)
+            if Gc is None:
+                Gc = cplx.from_last(jnp.asarray(self.default_G(B, n_fs)))
+            rx, sigma, final_phase = rate_fs_channel(cfg, k_chan, tx, Gc, EbNodB)
 
             rx_dash = rx.reshape(B, n_rs, cfg.M + cfg.Ncp)
             rx_dash = ofdm.strip_cp(rx_dash, cfg.M, cfg.Ncp, cfg.time_offset)
@@ -147,15 +168,16 @@ class RADAE:
                 tx = ofdm.magnitude_bottleneck(tx)
                 tx_before_channel = tx
                 tx_sym = ofdm.dft(tx, cfg.Wfwd)
-            H_all = H
+            H_all = jnp.asarray(H)
             if cfg.pilots:
                 # NB: the reference crashes on pilots+rate_Rs (H is sized
                 # for data symbols only); we make the combination work by
                 # replicating each frame's first fade row onto its pilot
-                H_framed = H.reshape(B, num_modem_frames, cfg.Ns, cfg.Nc)
+                H_framed = H_all.reshape(B, num_modem_frames, cfg.Ns, cfg.Nc)
                 H_all = jnp.concatenate([H_framed[:, :, :1, :], H_framed],
                                         axis=2).reshape(B, n_rs, cfg.Nc)
-            rx_sym, sigma, tx_sym = rate_rs_channel(cfg, k_chan, tx_sym, H_all, EbNodB)
+            rx_sym, sigma, tx_sym = rate_rs_channel(cfg, k_chan, tx_sym,
+                                                    H_all, EbNodB)
 
         # --- strip pilots / EQ (radae.py:636-644) --------------------------
         if cfg.pilots:
@@ -165,7 +187,7 @@ class RADAE:
                     cfg, rx_sym_pilots, idx=self._eq_idx, Pmat=self._eq_pmat)
             rx_sym = rx_sym_pilots[:, :, 1:cfg.Ns + 1, :]
 
-        rx_sym = rx_sym.reshape(qpsk_shape)
+        rx_sym = rx_sym.reshape(*qpsk_shape)
         z_hat = ofdm.qpsk_demap(rx_sym)
 
         out = {}
@@ -191,13 +213,14 @@ class RADAE:
 
     # -- vanilla batch receiver (radae.py:387-428) --------------------------
     def receiver(self, params, rx, key=None):
-        """Decode a rate-Fs sample stream (1-D complex) to features.
+        """Decode a rate-Fs sample stream (1-D complex or C) to features.
 
         Assumes coarse sync already done (time/freq aligned): integer number
         of modem frames starting with a pilot."""
         cfg = self.cfg
+        rx = _as_C(rx)
         Ns = cfg.Ns + 1 if cfg.pilots else cfg.Ns
-        n_rs = len(rx) // (cfg.M + cfg.Ncp)
+        n_rs = rx.shape[0] // (cfg.M + cfg.Ncp)
         nmf = n_rs // Ns
         n_rs = Ns * nmf
         rx = rx[: n_rs * (cfg.M + cfg.Ncp)].reshape(1, n_rs, cfg.M + cfg.Ncp)
@@ -217,10 +240,12 @@ class RADAE:
 
     # -- SNR estimation from a received pilot (radae.py:433-439) ------------
     def est_snr(self, r, time_offset=0):
+        """Host-side numpy: r is a (M,) complex vector of received pilot
+        samples."""
         cfg = self.cfg
         st = cfg.Ncp + time_offset
-        p = jnp.asarray(cfg.p_cp[st:st + cfg.M])
-        r = jnp.asarray(r)
-        Ct = jnp.abs(jnp.vdot(r, p)) ** 2 / jnp.vdot(r, r)
-        SNR_est = Ct / (jnp.vdot(p, p) - Ct)
-        return SNR_est.real
+        p = np.asarray(cfg.p_cp[st:st + cfg.M])
+        r = np.asarray(r)
+        Ct = np.abs(np.vdot(r, p)) ** 2 / np.vdot(r, r)
+        SNR_est = Ct / (np.vdot(p, p) - Ct)
+        return float(SNR_est.real)

@@ -1,9 +1,10 @@
 """OFDM modulation primitives as batched matmul-friendly JAX ops.
 
-The Nc<->M carrier transforms are explicit small non-power-of-2 DFT matrices
-applied as matmuls — the right shape for the MXU (same insight as the
-reference's matrix DFT, radae/radae.py:170-179, but batched over
-sequences x modem frames).
+All complex quantities are split-complex `cplx.C` pairs (see ops/cplx.py):
+the Nc<->M carrier transforms are explicit small non-power-of-2 DFT
+matrices applied as pairs of real matmuls — the right shape for the MXU
+(same insight as the reference's matrix DFT, radae/radae.py:170-179, but
+batched over sequences x modem frames and real-valued for the hardware).
 """
 
 from __future__ import annotations
@@ -11,50 +12,52 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from . import cplx
+from .cplx import C
 
-def qpsk_map(z):
+
+def qpsk_map(z) -> C:
     """Interleaved real latents -> complex QPSK symbols.
 
-    z: (..., L) real -> (..., L/2) complex; even indices = I, odd = Q
+    z: (..., L) real -> C of shape (..., L/2); even indices = I, odd = Q
     (reference: radae/radae.py:482).
     """
-    return z[..., ::2] + 1j * z[..., 1::2]
+    return C(z[..., ::2], z[..., 1::2])
 
 
-def qpsk_demap(sym, dtype=jnp.float32):
+def qpsk_demap(sym: C, dtype=jnp.float32):
     """Complex symbols -> interleaved real latents (reference: radae.py:649-651)."""
-    shape = sym.shape[:-1] + (2 * sym.shape[-1],)
-    z = jnp.zeros(shape, dtype)
-    z = z.at[..., ::2].set(sym.real.astype(dtype))
-    z = z.at[..., 1::2].set(sym.imag.astype(dtype))
-    return z
+    return jnp.stack([sym.re, sym.im], axis=-1).reshape(
+        sym.re.shape[:-1] + (2 * sym.re.shape[-1],)).astype(dtype)
 
 
-def magnitude_bottleneck(x):
+def magnitude_bottleneck(x: C) -> C:
     """tanh() saturation of complex magnitude, phase preserved.
 
     Used for bottleneck 2 (per-symbol) and bottleneck 3 (time-domain PA
-    saturation model) (reference: radae.py:487,525-526).
-    """
-    return (jnp.tanh(jnp.abs(x)) * jnp.exp(1j * jnp.angle(x))).astype(x.dtype)
+    saturation model) (reference: radae.py:487,525-526).  Implemented as a
+    radial rescale — no angle/exp needed."""
+    r = jnp.sqrt(x.abs2() + 1e-12)
+    return x * (jnp.tanh(r) / r)
 
 
-def insert_pilots(tx_sym, P, pilot_gain, Ns):
+def insert_pilots(tx_sym: C, P: np.ndarray, pilot_gain: float, Ns: int) -> C:
     """Insert one pilot row per modem frame: D...D -> PD...D.
 
-    tx_sym: (B, T_Rs, Nc) with T_Rs divisible by Ns.
+    tx_sym: (B, T_Rs, Nc) with T_Rs divisible by Ns; P: (Nc,) complex numpy.
     Returns (B, T_Rs + T_Rs//Ns, Nc) (reference: radae.py:493-500).
     """
     B, T, Nc = tx_sym.shape
     nmf = T // Ns
     framed = tx_sym.reshape(B, nmf, Ns, Nc)
-    pilot_row = jnp.broadcast_to((pilot_gain * P)[None, None, None, :],
-                                 (B, nmf, 1, Nc)).astype(tx_sym.dtype)
-    with_pilots = jnp.concatenate([pilot_row, framed], axis=2)
-    return with_pilots.reshape(B, nmf * (Ns + 1), Nc)
+    Pg = pilot_gain * np.asarray(P)
+    pr = jnp.broadcast_to(jnp.asarray(Pg.real.astype(np.float32)), (B, nmf, 1, Nc))
+    pi = jnp.broadcast_to(jnp.asarray(Pg.imag.astype(np.float32)), (B, nmf, 1, Nc))
+    out = cplx.concatenate([C(pr, pi), framed], axis=2)
+    return out.reshape(B, nmf * (Ns + 1), Nc)
 
 
-def strip_pilots(rx_sym, Ns):
+def strip_pilots(rx_sym: C, Ns: int) -> C:
     """Drop the pilot row of each PD...D modem frame.
 
     rx_sym: (B, T', Nc) with T' divisible by Ns+1 -> (B, nmf, Ns, Nc)."""
@@ -63,24 +66,24 @@ def strip_pilots(rx_sym, Ns):
     return rx_sym.reshape(B, nmf, Ns + 1, Nc)[:, :, 1:, :]
 
 
-def idft(tx_sym, Winv):
+def idft(tx_sym: C, Winv: np.ndarray) -> C:
     """Carriers -> time samples: (B, T, Nc) @ (Nc, M) -> (B, T, M)."""
-    return tx_sym @ jnp.asarray(Winv)
+    return cplx.matmul_const(tx_sym, Winv)
 
 
-def dft(rx, Wfwd):
+def dft(rx: C, Wfwd: np.ndarray) -> C:
     """Time samples -> carriers: (B, T, M) @ (M, Nc) -> (B, T, Nc)."""
-    return rx @ jnp.asarray(Wfwd)
+    return cplx.matmul_const(rx, Wfwd)
 
 
-def add_cp(tx, Ncp):
+def add_cp(tx: C, Ncp: int) -> C:
     """Prefix each symbol with its last Ncp samples: (B,T,M) -> (B,T,M+Ncp)."""
     if Ncp == 0:
         return tx
-    return jnp.concatenate([tx[:, :, -Ncp:], tx], axis=-1)
+    return cplx.concatenate([tx[:, :, -Ncp:], tx], axis=-1)
 
 
-def strip_cp(rx, M, Ncp, time_offset=0):
+def strip_cp(rx: C, M: int, Ncp: int, time_offset: int = 0) -> C:
     """(B, T, M+Ncp) -> (B, T, M) sampling at Ncp+time_offset."""
     st = Ncp + time_offset
     return rx[:, :, st:st + M]

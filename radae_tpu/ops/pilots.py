@@ -1,9 +1,11 @@
-"""Pilot-based channel estimation and equalisation, batched.
+"""Pilot-based channel estimation and equalisation, batched, split-complex.
 
 The reference equalises with Python loops over modem frames and carriers
 (reference: radae/radae.py:312-384, radae/dsp.py:401-484).  Here the same
 estimators are expressed as gathers + batched matmuls over the whole
-(batch, frame, carrier) grid at once.
+(batch, frame, carrier) grid at once, on (re, im) float planes (see
+ops/cplx.py).  Phase-only EQ multiplies by conj(h)/|h| instead of
+exp(-j*angle(h)) — identical math, no transcendental angle/exp.
 """
 
 from __future__ import annotations
@@ -11,6 +13,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from . import cplx
+from .cplx import C
 
 LOCAL_PATH_DELAY_S = 0.0025   # assumed path delay for the LS fit (radae.py:338)
 
@@ -42,30 +47,47 @@ def ls_pmat(w: np.ndarray, Fs: int) -> np.ndarray:
     return Pmat
 
 
-def est_pilots_mean3(pilot_rows, P, idx):
+def _gather(x: C, idx) -> C:
+    return C(x.re[..., idx], x.im[..., idx])
+
+
+def _ratio_to_P(pilot_rows: C, P: np.ndarray) -> C:
+    """received pilot / known pilot, via a host-precomputed 1/P."""
+    invP = (1.0 / np.asarray(P)).astype(np.complex64)
+    return cplx.mul_const(pilot_rows, invP)
+
+
+def est_pilots_mean3(pilot_rows: C, P, idx) -> C:
     """3-pilot local mean across frequency (eq_mean6 estimator).
 
     pilot_rows: (..., Nc) received pilot symbols; P: (Nc,) known pilots;
     idx: window3_index(Nc).  Returns (..., Nc) channel estimates
     (reference: radae.py:321-328)."""
-    ratio = pilot_rows / P
-    return ratio[..., idx].mean(axis=-1)
+    ratio = _ratio_to_P(pilot_rows, P)
+    win = _gather(ratio, idx)
+    return C(win.re.mean(axis=-1), win.im.mean(axis=-1))
 
 
-def est_pilots_ls(pilot_rows, P, idx, Pmat, w, Fs=8000):
+def est_pilots_ls(pilot_rows: C, P, idx, Pmat, w, Fs=8000) -> C:
     """3-pilot least-squares fit across frequency.
 
     Returns (..., Nc) channel estimates h_c = g0 + g1*exp(-j*w_c*a)
     (reference: radae.py:331-344)."""
     a = LOCAL_PATH_DELAY_S * Fs    # w is in rad/sample
-    ratio = pilot_rows / P
-    h = ratio[..., idx]                                   # (..., Nc, 3)
-    g = jnp.einsum("cij,...cj->...ci", jnp.asarray(Pmat), h)  # (..., Nc, 2)
-    phase = jnp.exp(-1j * jnp.asarray(w) * a).astype(h.dtype)
-    return g[..., 0] + g[..., 1] * phase
+    ratio = _ratio_to_P(pilot_rows, P)
+    h = _gather(ratio, idx)                                   # (..., Nc, 3)
+    Pr = jnp.asarray(Pmat.real.astype(np.float32))
+    Pi = jnp.asarray(Pmat.imag.astype(np.float32))
+    g = C(jnp.einsum("cij,...cj->...ci", Pr, h.re)
+          - jnp.einsum("cij,...cj->...ci", Pi, h.im),
+          jnp.einsum("cij,...cj->...ci", Pr, h.im)
+          + jnp.einsum("cij,...cj->...ci", Pi, h.re))         # (..., Nc, 2)
+    phase = np.exp(-1j * np.asarray(w) * a).astype(np.complex64)
+    return g[..., 0] + cplx.mul_const(g[..., 1], phase)
 
 
-def interp_pilot_eq(rx_sym_pilots, rx_pilots, Ns, phase_mag_eq=False):
+def interp_pilot_eq(rx_sym_pilots: C, rx_pilots: C, Ns: int,
+                    phase_mag_eq: bool = False) -> C:
     """Linearly interpolate pilot channel estimates across each frame and
     equalise the data symbols.
 
@@ -76,33 +98,34 @@ def interp_pilot_eq(rx_sym_pilots, rx_pilots, Ns, phase_mag_eq=False):
     """
     B, nmf, _, Nc = rx_sym_pilots.shape
     if nmf > 1:
-        slopes = (rx_pilots[:, 1:] - rx_pilots[:, :-1]) / (Ns + 1)   # (B, nmf-1, Nc)
-        slopes = jnp.concatenate([slopes, slopes[:, -1:]], axis=1)   # last frame reuses
+        slopes = (rx_pilots[:, 1:] - rx_pilots[:, :-1]) * (1.0 / (Ns + 1))
+        slopes = cplx.concatenate([slopes, slopes[:, -1:]], axis=1)
     else:
-        slopes = jnp.zeros_like(rx_pilots)
+        slopes = rx_pilots * 0.0
     steps = jnp.arange(1, Ns + 1, dtype=jnp.float32)[None, None, :, None]
-    rx_ch = rx_pilots[:, :, None, :] + slopes[:, :, None, :] * steps  # (B,nmf,Ns,Nc)
+    rx_ch = rx_pilots[:, :, None, :] + slopes[:, :, None, :] * steps
     data = rx_sym_pilots[:, :, 1:Ns + 1, :]
     if phase_mag_eq:
         data = data / rx_ch
     else:
-        data = data * jnp.exp(-1j * jnp.angle(rx_ch)).astype(data.dtype)
-    return rx_sym_pilots.at[:, :, 1:Ns + 1, :].set(data)
+        data = data * rx_ch.unit().conj()
+    return cplx.concatenate([rx_sym_pilots[:, :, :1, :], data], axis=2)
 
 
-def coarse_mag_correction(rx_sym_pilots, rx_pilots, P0_abs, pilot_gain,
+def coarse_mag_correction(rx_sym_pilots: C, rx_pilots: C, P0_abs, pilot_gain,
                           bottleneck):
     """Scale symbols by the RMS pilot magnitude (per batch element).
 
     The ML decoder is magnitude-sensitive unlike classical PSK, so a coarse
     AGC from the pilots is applied (reference: radae.py:376-382)."""
-    mag = jnp.sqrt((jnp.abs(rx_pilots) ** 2).mean(axis=(1, 2)))      # (B,)
+    mag = jnp.sqrt(rx_pilots.abs2().mean(axis=(1, 2)))        # (B,)
     if bottleneck == 3:
         mag = mag * P0_abs / pilot_gain
-    return rx_sym_pilots / mag[:, None, None, None], mag
+    inv = (1.0 / mag)[:, None, None, None]
+    return rx_sym_pilots * inv, mag
 
 
-def pilot_eq(cfg, rx_sym_pilots, *, idx=None, Pmat=None):
+def pilot_eq(cfg, rx_sym_pilots: C, *, idx=None, Pmat=None) -> C:
     """Full pilot-based EQ pass over (B, nmf, Ns+1, Nc) symbols.
 
     Dispatches between the 3-pilot-mean and least-squares estimators and
@@ -111,18 +134,20 @@ def pilot_eq(cfg, rx_sym_pilots, *, idx=None, Pmat=None):
     Nc = cfg.Nc
     if idx is None:
         idx = window3_index(Nc)
-    P = jnp.asarray(cfg.P)
-    pilot_rows = rx_sym_pilots[:, :, 0, :]                            # (B,nmf,Nc)
+    pilot_rows = rx_sym_pilots[:, :, 0, :]                    # (B,nmf,Nc)
     if cfg.per_carrier_eq:
         if cfg.eq_mean6:
-            rx_pilots = est_pilots_mean3(pilot_rows, P, idx)
+            rx_pilots = est_pilots_mean3(pilot_rows, cfg.P, idx)
         else:
             if Pmat is None:
                 Pmat = ls_pmat(cfg.w, cfg.Fs)
-            rx_pilots = est_pilots_ls(pilot_rows, P, idx, Pmat, cfg.w, cfg.Fs)
+            rx_pilots = est_pilots_ls(pilot_rows, cfg.P, idx, Pmat, cfg.w, cfg.Fs)
     else:
-        rx_pilots = (pilot_rows / P).mean(axis=-1, keepdims=True)
-        rx_pilots = jnp.broadcast_to(rx_pilots, pilot_rows.shape)
+        ratio = _ratio_to_P(pilot_rows, cfg.P)
+        m = C(ratio.re.mean(axis=-1, keepdims=True),
+              ratio.im.mean(axis=-1, keepdims=True))
+        rx_pilots = C(jnp.broadcast_to(m.re, pilot_rows.shape),
+                      jnp.broadcast_to(m.im, pilot_rows.shape))
     rx_sym_pilots = interp_pilot_eq(rx_sym_pilots, rx_pilots, cfg.Ns,
                                     cfg.phase_mag_eq)
     if cfg.coarse_mag:

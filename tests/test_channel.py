@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from radae_tpu.config import RADAEConfig, flagship_config
+from radae_tpu.ops import cplx
 from radae_tpu.channel.simulate import (
     multipath_two_path, complex_normal, rate_fs_channel, draw_EbNodB)
 from radae_tpu.channel.doppler import (
@@ -14,7 +15,7 @@ from radae_tpu.channel.doppler import (
 
 def test_complex_normal_variance():
     x = complex_normal(jax.random.PRNGKey(0), (100000,))
-    v = float(jnp.mean(jnp.abs(x) ** 2))
+    v = float(jnp.mean(x.abs2()))
     assert abs(v - 1.0) < 0.02
 
 
@@ -24,20 +25,25 @@ def test_multipath_power_normalised(rng):
     G = np.zeros((2, n, 2), np.complex64)
     G[:, :, 0] = 0.7
     G[:, :, 1] = 0.7
-    rx = multipath_two_path(jnp.asarray(tx), jnp.asarray(G), 16)
-    p_tx = float(jnp.mean(jnp.abs(jnp.asarray(tx)) ** 2))
-    p_rx = float(jnp.mean(jnp.abs(rx) ** 2))
+    rx = multipath_two_path(cplx.of(tx), cplx.of(G), 16)
+    p_tx = float(np.mean(np.abs(tx) ** 2))
+    p_rx = float(jnp.mean(rx.abs2()))
     assert abs(p_rx / p_tx - 1.0) < 0.05
+
+
+def _awgn_G(n):
+    G = np.zeros((1, n, 2), np.complex64)
+    G[:, :, 0] = 1
+    return cplx.of(G)
 
 
 def test_awgn_sigma_rate_fs_bottleneck1():
     """sigma = (EbNo*M)^-0.5 for bottleneck 1/2 (radae.py:576)."""
     cfg = RADAEConfig(latent_dim=80, EbNodB=3.0, rate_Fs=True, bottleneck=1)
     n = 8000
-    tx = jnp.ones((1, n), jnp.complex64)
-    G = jnp.zeros((1, n, 2), jnp.complex64).at[:, :, 0].set(1.0)
+    tx = cplx.of(np.ones((1, n), np.complex64))
     EbNodB = 3.0 * jnp.ones((1, 1, 1))
-    rx, sigma, _ = rate_fs_channel(cfg, jax.random.PRNGKey(0), tx, G, EbNodB)
+    rx, sigma, _ = rate_fs_channel(cfg, jax.random.PRNGKey(0), tx, _awgn_G(n), EbNodB)
     expect = (10 ** (3.0 / 10) * cfg.M) ** -0.5
     assert abs(float(sigma[0, 0]) - expect) < 1e-6
 
@@ -45,10 +51,9 @@ def test_awgn_sigma_rate_fs_bottleneck1():
 def test_awgn_sigma_rate_fs_bottleneck3():
     cfg = flagship_config(EbNodB=0.0)
     n = 8000
-    tx = jnp.ones((1, n), jnp.complex64)
-    G = jnp.zeros((1, n, 2), jnp.complex64).at[:, :, 0].set(1.0)
+    tx = cplx.of(np.ones((1, n), np.complex64))
     EbNodB = jnp.zeros((1, 1, 1))
-    rx, sigma, _ = rate_fs_channel(cfg, jax.random.PRNGKey(0), tx, G, EbNodB)
+    rx, sigma, _ = rate_fs_channel(cfg, jax.random.PRNGKey(0), tx, _awgn_G(n), EbNodB)
     expect = np.sqrt(cfg.Fs / (1.0 * cfg.Rb))
     assert abs(float(sigma[0, 0]) - expect) < 1e-5
 
