@@ -47,7 +47,8 @@ class RadaeTx:
         self.enc_state = None
         self._eoo = cfg.eoo.copy()
 
-        self.n_rs = cfg.Nzmf * cfg.Ns    # data symbols per call
+        # data symbol rows per call (one modem frame)
+        self.n_rs = cfg.Nzmf * cfg.latent_dim // (cfg.bps * cfg.Nc)
 
         if txbpf_en:
             w = cfg.w

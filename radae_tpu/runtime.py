@@ -1,0 +1,99 @@
+"""Batched streaming pipelines — the serving hot path.
+
+The streaming receiver decodes one 120 ms modem frame per step; throughput
+on TPU comes from batching that step across independent streams (channel
+realisations / users), which keeps the MXU busy despite the sequential
+GRU recurrence (SURVEY §7 "hard parts").  These helpers build the jitted
+fixed-shape step functions:
+
+  rx step: (B, Nmf+M+Ncp) samples -> demod + LS pilot EQ -> stateful
+           core decoder -> (B, 12, F) features        (radae_rxe hot path)
+  tx step: (B, 12, F) features -> stateful core encoder -> OFDM mod
+           -> (B, Nmf) samples                         (radae_txe hot path)
+
+Inputs/outputs are packed (..., 2) float arrays for complex quantities.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RADAEConfig
+from .models.core import CoreEncoder, CoreDecoder
+from .ops import cplx, ofdm
+from .ops.cplx import C
+from .ops import pilots as pilots_ops
+
+
+def make_streaming_rx_step(cfg: RADAEConfig, decoder: CoreDecoder,
+                           batch: int):
+    """Jitted batched streaming rx step.
+
+    step(dec_params, rx_packed (B, Nmf+M+Ncp, 2), dec_state)
+      -> (features (B, 12, feature_dim), new_state)
+
+    Mirrors receiver_one + stateful decoder (reference: radae_rxe.py:236,
+    304; dsp.py:487-512) batched over B independent streams."""
+    Ns = cfg.Ns
+    idx = pilots_ops.window3_index(cfg.Nc)
+    pmat = pilots_ops.ls_pmat(cfg.w, cfg.Fs)
+
+    def step(dec_params, rx_packed, dec_state):
+        B = rx_packed.shape[0]
+        rx = cplx.from_last(rx_packed)                    # (B, Nmf+M+Ncp)
+        n_rs = rx.shape[1] // (cfg.M + cfg.Ncp)           # Ns + 2
+        rx = rx.reshape(B, n_rs, cfg.M + cfg.Ncp)
+        rx_dash = ofdm.strip_cp(rx, cfg.M, cfg.Ncp, cfg.time_offset)
+        rx_sym = ofdm.dft(rx_dash, cfg.Wfwd)              # (B, Ns+2, Nc)
+
+        pilot_rows = rx_sym[:, (0, Ns + 1), :]            # (B, 2, Nc)
+        rx_pilots = pilots_ops.est_pilots_ls(pilot_rows, cfg.P, idx, pmat,
+                                             cfg.w, cfg.Fs)
+        slope = (rx_pilots[:, 1, :] - rx_pilots[:, 0, :]) * (1.0 / (Ns + 1))
+        steps = jnp.arange(1, Ns + 1, dtype=jnp.float32)[None, :, None]
+        rx_ch = rx_pilots[:, None, 0, :] + slope[:, None, :] * steps
+        data = rx_sym[:, 1:Ns + 1, :] * rx_ch.unit().conj()
+        if cfg.coarse_mag:
+            mag = jnp.sqrt(rx_pilots.abs2().mean(axis=(1, 2))) + 1e-6
+            if cfg.bottleneck == 3:
+                mag = mag * float(np.abs(cfg.P[0])) / cfg.pilot_gain
+            data = data * (1.0 / mag)[:, None, None]
+
+        z_hat = ofdm.qpsk_demap(data.reshape(B, -1, cfg.latent_dim // 2))
+        features, dec_state = decoder(dec_params, z_hat, key=None,
+                                      state=dec_state)
+        return features, dec_state
+
+    return jax.jit(step)
+
+
+def make_streaming_tx_step(cfg: RADAEConfig, encoder: CoreEncoder,
+                           batch: int):
+    """Jitted batched streaming tx step.
+
+    step(enc_params, features (B, 12, F), enc_state)
+      -> (tx_packed (B, Nmf, 2), new_state)"""
+    # one modem frame: Nzmf z-vectors -> Ns data symbol rows
+    n_rs = cfg.Nzmf * cfg.latent_dim // (cfg.bps * cfg.Nc)
+
+    def step(enc_params, features, enc_state):
+        B = features.shape[0]
+        z, enc_state = encoder(enc_params, features, key=None,
+                               state=enc_state)
+        tx_sym = ofdm.qpsk_map(z)
+        if cfg.bottleneck == 2:
+            tx_sym = ofdm.magnitude_bottleneck(tx_sym)
+        tx_sym = tx_sym.reshape(B, n_rs, cfg.Nc)
+        tx_sym = ofdm.insert_pilots(tx_sym, cfg.P, cfg.pilot_gain, cfg.Ns)
+        tx = ofdm.idft(tx_sym, cfg.Winv)
+        tx = ofdm.add_cp(tx, cfg.Ncp)
+        tx = tx.reshape(B, -1)
+        if cfg.bottleneck == 3:
+            tx = ofdm.magnitude_bottleneck(tx)
+        return cplx.stack_last(tx), enc_state
+
+    return jax.jit(step)
