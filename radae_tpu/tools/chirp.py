@@ -1,0 +1,100 @@
+"""Calibration tools: chirp generation, C/No estimation, EOO BER.
+
+- chirp: triangle-sweep complex chirp for OTA level calibration
+  (reference: chirp.py:1-67)
+- est_CNo: C/No from a chirp via windowed FFT, signal band 400-2000 Hz vs
+  adjacent noise band, peak search over time (reference: est_CNo.py)
+- eoo_ber: frame-by-frame EOO BER vs stored tx bits (reference: eoo_ber.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def gen_chirp(Fs=8000, T=4.0, f1=400.0, f2=2000.0, amp=0.25):
+    """Triangle-sweep complex chirp: f1 -> f2 -> f1, length T seconds."""
+    n = int(Fs * T)
+    t = np.arange(n) / Fs
+    half = T / 2
+    # instantaneous frequency: up then down
+    finst = np.where(t < half,
+                     f1 + (f2 - f1) * t / half,
+                     f2 - (f2 - f1) * (t - half) / half)
+    phase = 2 * np.pi * np.cumsum(finst) / Fs
+    return (amp * np.exp(1j * phase)).astype(np.complex64)
+
+
+def chirp_main(argv=None):
+    p = argparse.ArgumentParser(description="write a calibration chirp IQ.f32")
+    p.add_argument("out", type=str)
+    p.add_argument("--secs", type=float, default=4.0)
+    p.add_argument("--amp", type=float, default=0.25)
+    args = p.parse_args(argv)
+    gen_chirp(T=args.secs, amp=args.amp).tofile(args.out)
+
+
+def est_CNo(rx, Fs=8000, f_sig=(400, 2000), verbose=False):
+    """Estimate C/No of a chirp in noise: windowed FFTs, power in the
+    signal band vs an adjacent noise band, peak search over time windows
+    (reference: est_CNo.py).
+
+    With a length-N DFT, mean power = sum|X|^2 / N^2 (Parseval) and the
+    noise PSD is mean_noise|X|^2 / (N * Fs); the Hann window scaling
+    cancels in the C/No ratio."""
+    Nw = 1024
+    nwin = len(rx) // Nw
+    best = -np.inf
+    best_t = 0.0
+    f = np.fft.fftfreq(Nw, 1 / Fs)
+    sig_band = (f >= f_sig[0]) & (f <= f_sig[1])
+    noise_band = (f > f_sig[1] + 200) & (f < f_sig[1] + 800)
+    n_sig = int(sig_band.sum())
+    win = np.hanning(Nw)
+    for i in range(nwin):
+        X = np.abs(np.fft.fft(rx[i * Nw:(i + 1) * Nw] * win)) ** 2
+        mu_n = X[noise_band].mean()
+        if mu_n <= 0:
+            continue
+        S = X[sig_band].sum() - n_sig * mu_n      # noise-corrected signal
+        if S <= 0:
+            continue
+        CNo = 10 * np.log10((Fs / Nw) * S / mu_n)
+        if CNo > best:
+            best, best_t = CNo, i * Nw / Fs
+    if verbose:
+        print(f"C/No: {best:5.2f} dBHz at t: {best_t:5.2f} s")
+    return best, best_t
+
+
+def est_CNo_main(argv=None):
+    p = argparse.ArgumentParser(description="C/No estimate from chirp IQ.f32")
+    p.add_argument("rx", type=str)
+    args = p.parse_args(argv)
+    rx = np.fromfile(args.rx, np.complex64)
+    CNo, t = est_CNo(rx, verbose=False)
+    print(f"C/No (dBHz): {CNo:5.2f} time: {t:5.2f}")
+
+
+def eoo_ber_main(argv=None):
+    """Frame-by-frame EOO BER; PASS if any frame < 5% (reference: eoo_ber.py)."""
+    p = argparse.ArgumentParser()
+    p.add_argument("tx_bits", type=str)
+    p.add_argument("rx_bits", type=str)
+    args = p.parse_args(argv)
+    tx = np.fromfile(args.tx_bits, np.float32)
+    rx = np.fromfile(args.rx_bits, np.float32)
+    nbits = len(tx)
+    nframes = len(rx) // nbits
+    ok = False
+    for f in range(nframes):
+        errs = int(np.sum(rx[f * nbits:(f + 1) * nbits] * tx < 0))
+        ber = errs / nbits
+        print(f"frame: {f} n_errors: {errs} BER: {ber:5.3f}")
+        if ber < 0.05:
+            ok = True
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
