@@ -1,0 +1,168 @@
+"""Native C runtime parity vs the JAX implementation.
+
+Mirrors the reference's C-vs-Python parity ctests (c_encoder_* /
+c_decoder_*, CMakeLists.txt:518-557, gate loss_delta < 0.01) — here the
+noise-free paths must agree to float tolerance — plus an end-to-end C API
+receiver run over a Python-transmitted stream.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NATIVE = os.path.join(REPO, "native", "build")
+
+
+@pytest.fixture(scope="module")
+def built():
+    r = subprocess.run(["make", "-C", os.path.join(REPO, "native")],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    return NATIVE
+
+
+@pytest.fixture(scope="module")
+def blob(built, tmp_path_factory):
+    """Random flagship params exported to an RTPW blob + the params tree."""
+    from radae_tpu.config import flagship_config
+    from radae_tpu.models.radae import RADAE
+    from radae_tpu.export import write_blob
+
+    model = RADAE(flagship_config())
+    params = model.init(0)
+    path = str(tmp_path_factory.mktemp("w") / "weights.bin")
+    write_blob(path, params)
+    return path, model, params
+
+
+def test_blob_roundtrip(blob, tmp_path):
+    path, model, params = blob
+    assert os.path.getsize(path) > 6_000_000   # ~1.7M f32 params
+
+
+def test_c_encoder_parity(blob, tmp_path):
+    path, model, params = blob
+    rng = np.random.default_rng(0)
+    T = 48
+    feats = (rng.standard_normal((1, T, 21)) * 0.3).astype(np.float32)
+
+    z_jax, _ = model.core_encoder(params["encoder"], feats, key=None)
+    z_jax = np.asarray(z_jax)
+
+    fin = str(tmp_path / "f.f32")
+    fout = str(tmp_path / "z.f32")
+    feats.flatten().tofile(fin)
+    r = subprocess.run([f"{NATIVE}/test_core", "enc", path, fin, fout, "3"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    z_c = np.fromfile(fout, np.float32).reshape(1, -1, 80)
+    np.testing.assert_allclose(z_c, z_jax, rtol=1e-4, atol=2e-4)
+
+
+def test_c_decoder_parity(blob, tmp_path):
+    path, model, params = blob
+    rng = np.random.default_rng(1)
+    z = np.tanh(rng.standard_normal((1, 12, 80))).astype(np.float32)
+
+    f_jax, _ = model.core_decoder(params["decoder"], z, key=None)
+    f_jax = np.asarray(f_jax)
+
+    fin = str(tmp_path / "z.f32")
+    fout = str(tmp_path / "f.f32")
+    z.flatten().tofile(fin)
+    r = subprocess.run([f"{NATIVE}/test_core", "dec", path, fin, fout],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    f_c = np.fromfile(fout, np.float32).reshape(1, -1, 21)
+    np.testing.assert_allclose(f_c, f_jax, rtol=1e-4, atol=2e-4)
+
+
+def test_c_api_tx_rx_loopback(built, tmp_path):
+    """Full C tx -> C rx over the API binaries: must sync, decode, and
+    detect the EOO (reference C embedding ctests, CMakeLists.txt:477-513).
+    No-auxdata weights: with random weights the auxdata unique-word check
+    correctly unsyncs (garbage UW), which would mask the EOO."""
+    from radae_tpu.config import flagship_config
+    from radae_tpu.models.radae import RADAE
+    from radae_tpu.export import write_blob
+    model = RADAE(flagship_config(feature_dim=20))
+    params = model.init(0)
+    path = str(tmp_path / "weights20.bin")
+    write_blob(path, params)
+    rng = np.random.default_rng(2)
+    nframes = 12
+    feats = np.zeros((nframes * 12, 36), np.float32)
+    feats[:, :20] = rng.standard_normal((nframes * 12, 20)) * 0.3
+    fin = str(tmp_path / "f.f32")
+    feats.flatten().tofile(fin)
+
+    tx = subprocess.run([f"{NATIVE}/radae_tx", path], stdin=open(fin, "rb"),
+                        capture_output=True)
+    assert tx.returncode == 0, tx.stderr.decode()
+    iq = np.frombuffer(tx.stdout, np.complex64)
+    # impairments: noise + small freq offset + level
+    n = len(iq)
+    iq = iq * np.exp(1j * 2 * np.pi * 5.0 * np.arange(n) / 8000)
+    iq = 0.8 * iq + 0.02 * (rng.standard_normal(n)
+                            + 1j * rng.standard_normal(n))
+    rxf = str(tmp_path / "rx.f32")
+    iq.astype(np.complex64).tofile(rxf)
+
+    rx = subprocess.run([f"{NATIVE}/radae_rx", path], stdin=open(rxf, "rb"),
+                        capture_output=True, cwd=str(tmp_path))
+    assert rx.returncode == 0, rx.stderr.decode()
+    out = np.frombuffer(rx.stdout, np.float32).reshape(-1, 36)
+    stderr = rx.stderr.decode()
+    # decoded most frames after ~0.5s acquisition
+    assert out.shape[0] >= (nframes - 6) * 12, (out.shape, stderr)
+    assert "EOO detected" in stderr, stderr
+
+
+def test_c_vs_python_decode_parity(blob, tmp_path):
+    """C API receiver output vs the Python streaming receiver on the same
+    stream: decoded features must track (loss delta < 0.01 analog)."""
+    import jax
+    from radae_tpu.apps.txe import RadaeTx
+    from radae_tpu.apps.rxe import RadaeRx
+    from radae_tpu.models.core import distortion_loss
+
+    path, model, params = blob
+    rng = np.random.default_rng(3)
+    nframes = 10
+    tx = RadaeTx(params=params)
+    frames = []
+    for i in range(nframes):
+        f36 = np.zeros((12, 36), np.float32)
+        f36[:, :20] = rng.standard_normal((12, 20)) * 0.3
+        frames.append(tx.do_radae_tx(f36.flatten()))
+    stream = np.concatenate(frames + [tx.do_eoo(),
+                                      np.zeros(3000, np.complex64)])
+    rxf = str(tmp_path / "rx.f32")
+    stream.astype(np.complex64).tofile(rxf)
+
+    # C receiver
+    rc = subprocess.run([f"{NATIVE}/radae_rx", path], stdin=open(rxf, "rb"),
+                        capture_output=True, cwd=str(tmp_path))
+    c_out = np.frombuffer(rc.stdout, np.float32).reshape(-1, 36)
+
+    # Python receiver
+    rx = RadaeRx(params=params, v=0)
+    floats_out = np.zeros(rx.get_n_floats_out(), np.float32)
+    py_chunks = []
+    ptr = 0
+    while ptr + rx.get_nin() <= len(stream):
+        nin = rx.get_nin()
+        ret = rx.do_radae_rx(stream[ptr:ptr + nin], floats_out)
+        ptr += nin
+        if ret & 1:
+            py_chunks.append(floats_out.reshape(-1, 36).copy())
+    py_out = np.concatenate(py_chunks)
+
+    n = min(len(c_out), len(py_out))
+    assert n >= (nframes - 5) * 12
+    loss = float(np.asarray(distortion_loss(
+        py_out[None, :n, :20], c_out[None, :n, :20]))[0])
+    assert loss < 0.01, loss
