@@ -1,0 +1,196 @@
+"""SNR x channel evaluation sweep, sharded over the device mesh.
+
+Equivalent of the reference's evaluate.sh / evaluate_loop.sh harness
+(reference: evaluate_loop.sh:43-53 sweeps SNR over {AWGN, MPG, MPP, MPD}
+channel classes by repeatedly invoking inference), redesigned TPU-first:
+the whole (SNR x channel x realisation) grid becomes ONE batch with each
+row an independent channel draw, sharded over the "dp" mesh axis — the
+channel-grid parallelism the reference runs as a bash loop.
+
+Outputs a loss table per (channel, SNR) cell and optionally JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from ..config import RADAEConfig
+from ..models.radae import RADAE
+from ..models.core import distortion_loss
+from ..channel.doppler import multipath_samples, CHANNEL_PRESETS
+from ..parallel.mesh import make_mesh, shard_batch
+from ..convert import load_checkpoint, load_torch_checkpoint
+from ..utils.hostio import device_put_tree
+from ..ops import cplx
+from ..data.io import NB_TOTAL_FEATURES, NUM_USED_FEATURES, read_f32
+
+CHANNELS = ["awgn", "mpg", "mpp", "mpd"]
+
+
+def build_grid_batch(cfg, feats_seq, channels, EbNodB_list, reps, rng):
+    """One batch row per (channel, EbNo, rep): features replicated, H/G per
+    row an independent realisation."""
+    B = len(channels) * len(EbNodB_list) * reps
+    T = feats_seq.shape[0]
+    n_rs = cfg.num_timesteps_at_rate_Rs(T)
+    n_fs = cfg.num_timesteps_at_rate_Fs(n_rs)
+
+    feats = np.broadcast_to(feats_seq[None], (B, T, feats_seq.shape[1])).copy()
+    H = np.ones((B, n_rs, cfg.Nc), np.float32)
+    G = np.zeros((B, n_fs, 2), np.complex64)
+    G[:, :, 0] = 1
+    ebno = np.zeros((B,), np.float32)
+
+    rows = []
+    i = 0
+    for ch in channels:
+        for e in EbNodB_list:
+            for rep in range(reps):
+                ebno[i] = e
+                if ch != "awgn":
+                    nsec = n_fs / cfg.Fs + 1
+                    _, Gs, hf_gain = multipath_samples(
+                        ch, cfg.Fs, cfg.Rs_dash, cfg.Nc, nsec, rng=rng)
+                    G[i] = hf_gain * Gs[:n_fs]
+                rows.append((ch, e, rep))
+                i += 1
+    return feats, H, G, ebno, rows
+
+
+def run_sweep(model, params, feats_seq, channels, EbNodB_list, reps=2,
+              mesh=None, seed=0):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = model.cfg
+    rng = np.random.default_rng(seed)
+    feats, H, G, ebno, rows = build_grid_batch(cfg, feats_seq, channels,
+                                               EbNodB_list, reps, rng)
+
+    # per-row EbNo: override the model's global draw by running with
+    # per-row keys and a per-row EbNodB injected through cfg.range disabled
+    def fwd(params, feats, H, Gp, ebno, key):
+        # replicate forward() but with explicit per-row EbNodB
+        out = model.forward(params, feats, H, Gp, key=key)
+        return out["features_hat"]
+
+    # model.forward draws EbNodB from cfg; to run a grid we evaluate one
+    # jitted forward per EbNo *value* group, with rows of that value batched.
+    losses = np.zeros(len(rows), np.float32)
+    Gp = cplx.pack_np(G)
+    key = np.array([0, seed], np.uint32)
+
+    by_e = {}
+    for i, (ch, e, rep) in enumerate(rows):
+        by_e.setdefault(e, []).append(i)
+
+    for e, idxs in by_e.items():
+        sub_cfg = RADAEConfig(**{**_cfg_dict(cfg), "EbNodB": float(e)})
+        sub_model = RADAE(sub_cfg)
+        idxs = np.array(idxs)
+        fb, Hb, Gb = feats[idxs], H[idxs], Gp[idxs]
+        if mesh is not None:
+            # pad rows to a multiple of the mesh size
+            n_dev = mesh.devices.size
+            pad = (-len(idxs)) % n_dev
+            if pad:
+                fb = np.concatenate([fb, fb[:pad]])
+                Hb = np.concatenate([Hb, Hb[:pad]])
+                Gb = np.concatenate([Gb, Gb[:pad]])
+            with mesh:
+                batch = shard_batch(mesh, (fb, Hb, Gb))
+                out = jax.jit(
+                    lambda p, f, h, g, k: sub_model.forward(
+                        p, f, h, g, key=k)["features_hat"],
+                    in_shardings=(None,
+                                  NamedSharding(mesh, P("dp")),
+                                  NamedSharding(mesh, P("dp")),
+                                  NamedSharding(mesh, P("dp")), None),
+                )(params, *batch, jnp.asarray(key))
+            out = np.asarray(out)[: len(idxs)]
+        else:
+            out = np.asarray(sub_model.forward(
+                params, fb, Hb, Gb, key=jnp.asarray(key))["features_hat"])
+        lb = np.asarray(distortion_loss(feats[idxs][..., :20],
+                                        out[..., :20]))
+        losses[idxs] = lb
+
+    # aggregate per (channel, EbNo)
+    table = {}
+    for (ch, e, rep), l in zip(rows, losses):
+        table.setdefault((ch, e), []).append(float(l))
+    return {k: float(np.mean(v)) for k, v in table.items()}
+
+
+def _cfg_dict(cfg):
+    import dataclasses
+    return {f.name: getattr(cfg, f.name)
+            for f in dataclasses.fields(cfg) if f.init}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("model_name", type=str)
+    p.add_argument("features", type=str)
+    p.add_argument("--channels", type=str, default="awgn,mpp")
+    p.add_argument("--EbNodB", type=str, default="0,3,6,10")
+    p.add_argument("--reps", type=int, default=2)
+    p.add_argument("--seconds", type=float, default=4.0)
+    p.add_argument("--latent-dim", type=int, default=80)
+    p.add_argument("--auxdata", action="store_true")
+    p.add_argument("--json", type=str, default="")
+    p.add_argument("--n_devices", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    import jax
+
+    nf = 21 if args.auxdata else 20
+    cfg = RADAEConfig(feature_dim=nf, latent_dim=args.latent_dim,
+                      EbNodB=100, rate_Fs=True, pilots=True, pilot_eq=True,
+                      eq_mean6=False, cyclic_prefix=0.004, coarse_mag=True,
+                      time_offset=-16, bottleneck=3)
+    model = RADAE(cfg)
+    if args.model_name in ("", "random"):
+        params = model.init(args.seed)
+    elif args.model_name.endswith(".pth"):
+        params = load_torch_checkpoint(args.model_name)
+    else:
+        params, _ = load_checkpoint(args.model_name)
+    params = device_put_tree(params)
+
+    f = read_f32(args.features, NB_TOTAL_FEATURES)[:, :NUM_USED_FEATURES]
+    T = cfg.num_10ms_times_steps_rounded_to_modem_frames(
+        min(f.shape[0], int(args.seconds * 100)))
+    feats_seq = f[:T].astype(np.float32)
+    if args.auxdata:
+        aux = -np.ones((T, 1), np.float32)
+        feats_seq = np.concatenate([feats_seq, aux], axis=1)
+
+    channels = args.channels.split(",")
+    ebnos = [float(x) for x in args.EbNodB.split(",")]
+    n_dev = args.n_devices or len(jax.devices())
+    mesh = make_mesh(min(n_dev, len(jax.devices()))) if n_dev > 1 else None
+
+    import time
+    t0 = time.time()
+    table = run_sweep(model, params, feats_seq, channels, ebnos,
+                      reps=args.reps, mesh=mesh, seed=args.seed)
+    dt = time.time() - t0
+
+    print(f"{'channel':8s} " + " ".join(f"{e:7.1f}" for e in ebnos))
+    for ch in channels:
+        print(f"{ch:8s} " + " ".join(f"{table[(ch, e)]:7.3f}" for e in ebnos))
+    print(f"sweep: {len(channels)*len(ebnos)*args.reps} cells in {dt:.1f}s",
+          file=sys.stderr)
+    if args.json:
+        with open(args.json, "w") as fj:
+            json.dump({f"{ch}@{e}": v for (ch, e), v in table.items()}, fj)
+
+
+if __name__ == "__main__":
+    main()

@@ -102,3 +102,65 @@ def test_ml_pilots_short():
     params, papr = train_pilots(EsNodB=10, epochs=5, batches=3)
     assert np.isfinite(papr)
     assert np.all(np.isfinite(params["Pr"]))
+
+
+def test_evaluate_sweep(tmp_path, capsys):
+    """SNR x channel grid sweep sharded over the 8-device CPU mesh
+    (evaluate_loop.sh equivalent)."""
+    from radae_tpu.tools.evaluate import main as eval_main
+    fin = str(tmp_path / "f.f32")
+    make_feature_file(fin, nframes=120)
+    jf = str(tmp_path / "sweep.json")
+    eval_main(["random", fin, "--channels", "awgn,mpp",
+               "--EbNodB", "3,10", "--reps", "2", "--seconds", "1.2",
+               "--json", jf, "--n_devices", "8"])
+    import json
+    table = json.load(open(jf))
+    assert set(table) == {"awgn@3.0", "awgn@10.0", "mpp@3.0", "mpp@10.0"}
+    assert all(np.isfinite(v) for v in table.values())
+    # higher SNR should not be worse (allowing small noise at random init)
+    assert table["awgn@10.0"] <= table["awgn@3.0"] + 0.05
+
+
+def test_mel_vocoder_roundtrip(tmp_path):
+    """Built-in vocoder: analysis -> synthesis preserves gross spectral
+    shape and pitch of a synthetic voiced signal."""
+    from radae_tpu.vocoder import MelVocoder, SPEECH_FS
+    t = np.arange(SPEECH_FS) / SPEECH_FS
+    f0 = 120.0
+    # harmonic-rich "voiced" signal with a formant-ish envelope
+    pcm = np.zeros_like(t)
+    for h in range(1, 20):
+        pcm += np.cos(2 * np.pi * f0 * h * t) / (1 + 0.3 * h)
+    pcm = (pcm / np.abs(pcm).max() * 12000).astype(np.int16)
+
+    v = MelVocoder()
+    feats = v.extract(pcm)
+    assert feats.shape[1] == 36
+    # voicing detected
+    assert feats[10:-10, 19].mean() > 0.2
+    # pitch feature tracks 120 Hz: lag = 16000/120 = 133
+    lag = np.sqrt((SPEECH_FS / 500) * (SPEECH_FS / 62.5)) * 2 ** (
+        1.5 * feats[10:-10, 18].mean())
+    assert abs(SPEECH_FS / lag - f0) < 30
+
+    out = v.synthesize(feats)
+    assert len(out) >= len(pcm) - 2 * 160
+    # output contains energy near f0 harmonics
+    spec = np.abs(np.fft.rfft(out[:SPEECH_FS].astype(np.float32)))
+    freqs = np.fft.rfftfreq(SPEECH_FS, 1 / SPEECH_FS)
+    peak = freqs[np.argmax(spec[(freqs > 80) & (freqs < 400)]) +
+                 np.searchsorted(freqs, 80)]
+    assert abs(peak - f0) < 25 or abs(peak - 2 * f0) < 25
+
+
+def test_wav_pipeline_passthru(tmp_path):
+    from radae_tpu.tools.wav_pipeline import main as wp_main, write_wav
+    from radae_tpu.vocoder import SPEECH_FS
+    t = np.arange(SPEECH_FS // 2) / SPEECH_FS
+    pcm = (8000 * np.sin(2 * np.pi * 150 * t)).astype(np.int16)
+    win = str(tmp_path / "in.wav")
+    wout = str(tmp_path / "out.wav")
+    write_wav(win, pcm)
+    wp_main(["random", win, wout, "--passthru"])
+    assert os.path.exists(wout)
