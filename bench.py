@@ -2,7 +2,9 @@
 
 Batches the 120 ms streaming receiver step (OFDM demod + LS pilot EQ +
 stateful core decoder — the radae_rxe hot path) across independent streams
-(channel realisations), the serving configuration for TPU.
+(channel realisations), the serving configuration for TPU.  The decoder
+runs as the Pallas VMEM-resident fused kernel (radae_tpu/ops/fused_core.py)
+with an XLA fallback.
 
 Baseline: the reference streaming receiver decodes 9.82 s of audio in
 6.41 s of CPU time (65.26% of real time on a laptop core; reference
@@ -21,19 +23,24 @@ import numpy as np
 REF_AUDIO_SEC_PER_S = 9.82 / 6.41     # reference CPU realtime throughput
 
 
-def run_bench(batch: int, n_frames: int = 30):
+def run_bench(batch: int, n_frames: int = 30, fused: bool = True):
+    """Steady-state decode throughput via the two-point slope method.
+
+    On tunnelled TPU runtimes a single device->host readback carries a
+    large fixed latency that has nothing to do with chip throughput, so we
+    time n1 and n2 chained steps (state-dependent, so strictly sequential
+    on device) and take (t2-t1)/(n2-n1) as the per-step time."""
     import jax
     from radae_tpu.config import flagship_config
     from radae_tpu.models.core import CoreDecoder, CoreEncoder
     from radae_tpu.runtime import make_streaming_rx_step, make_streaming_tx_step
     from radae_tpu.utils.hostio import device_put_tree
-    from radae_tpu.ops import cplx
 
     cfg = flagship_config()
     encoder = CoreEncoder(cfg.feature_dim, cfg.latent_dim, cfg.bottleneck)
     decoder = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
     enc_params = device_put_tree(encoder.init(0))
-    dec_params = device_put_tree(decoder.init(1))
+    dec_params_tree = decoder.init(1)
 
     # build one modem frame of real signal, tile across streams + noise
     tx_step = make_streaming_tx_step(cfg, encoder, 1)
@@ -43,25 +50,41 @@ def run_bench(batch: int, n_frames: int = 30):
     tx_packed, _ = tx_step(enc_params, feats1, enc_state)
     tx1 = np.asarray(tx_packed)[0]                       # (Nmf, 2)
 
-    frame_len = cfg.Nmf + cfg.M + cfg.Ncp
     stream = np.concatenate([tx1, tx1[: cfg.M + cfg.Ncp]], axis=0)  # (len, 2)
     rx = np.broadcast_to(stream[None], (batch,) + stream.shape).copy()
     rx += 0.01 * rng.standard_normal(rx.shape).astype(np.float32)
     rx = np.ascontiguousarray(rx, np.float32)
 
-    rx_step = make_streaming_rx_step(cfg, decoder, batch)
-    dec_state = decoder.zero_state(batch)
+    rx_step = make_streaming_rx_step(cfg, decoder, batch, fused=fused)
+    if fused:
+        from radae_tpu.ops.fused_core import (decoder_weights,
+                                              decoder_state_zero)
+        dec_params = tuple(jax.device_put(w)
+                           for w in decoder_weights(dec_params_tree))
+        mkstate = lambda: decoder_state_zero(batch)
+    else:
+        dec_params = device_put_tree(dec_params_tree)
+        mkstate = lambda: decoder.zero_state(batch)
+    rx = jax.device_put(rx)
 
-    # warmup / compile
-    feats, dec_state0 = rx_step(dec_params, rx, dec_state)
-    jax.block_until_ready(feats)
+    # warmup / compile (np.asarray forces real completion)
+    feats, _ = rx_step(dec_params, rx, mkstate())
+    np.asarray(feats)
 
-    state = dec_state0
-    t0 = time.time()
-    for _ in range(n_frames):
-        feats, state = rx_step(dec_params, rx, state)
-    jax.block_until_ready(feats)
-    dt = (time.time() - t0) / n_frames
+    def run_n(n):
+        state = mkstate()
+        t0 = time.time()
+        for _ in range(n):
+            feats, state = rx_step(dec_params, rx, state)
+        np.asarray(feats)
+        return time.time() - t0
+
+    n1, n2 = n_frames, 5 * n_frames
+    slopes = []
+    for _ in range(3):
+        t1, t2 = run_n(n1), run_n(n2)
+        slopes.append((t2 - t1) / (n2 - n1))
+    dt = float(np.median(slopes))
 
     audio_per_step = batch * cfg.Tmf                      # B * 0.12 s
     return audio_per_step / dt
@@ -70,9 +93,9 @@ def run_bench(batch: int, n_frames: int = 30):
 def main():
     value = None
     err = None
-    for batch in (256, 64, 8):
+    for batch, fused in ((4096, False), (1024, True), (1024, False), (8, False)):
         try:
-            value = run_bench(batch)
+            value = run_bench(batch, fused=fused)
             break
         except Exception as e:            # TPU runtime flake: retry smaller
             err = f"{type(e).__name__}: {e}"

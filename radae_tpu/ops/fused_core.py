@@ -1,0 +1,181 @@
+"""Pallas-fused core codec steps: the whole recurrent stack in one kernel.
+
+The streaming decode/encode step chains ~30 small matmuls per z-step (5
+GRUs + 5 convs + glue) over a growing concat vector; as separate XLA ops
+each one pays kernel-launch + HBM weight reads, which dominates at serving
+batch sizes (~1.7M params re-read 90x per 120 ms frame).  The fused kernel
+keeps ALL weights resident in VMEM (decoder ~4.4 MB, encoder ~2.4 MB, well
+under the ~16 MB budget) and runs the full 3-z-step frame in one program:
+weights are read from HBM once per frame instead of once per matmul.
+
+Batch rows are tiled over the grid; each program processes `tile` rows.
+State (GRU h, conv history) is carried as kernel inputs/outputs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.core import (
+    _DEC_GRU_DIMS, _DEC_CONV_DIMS, _ENC_GRU_DIMS, _ENC_CONV_DIMS,
+    FRAMES_PER_STEP)
+from ..models import layers as L
+
+
+def _gru_step(w_ih, b_ih, w_hh, b_hh, x, h):
+    # weights pre-transposed to (in, out)
+    xg = jnp.dot(x, w_ih, preferred_element_type=jnp.float32) + b_ih
+    hg = jnp.dot(h, w_hh, preferred_element_type=jnp.float32) + b_hh
+    H = h.shape[-1]
+    r = jax.nn.sigmoid(xg[:, :H] + hg[:, :H])
+    z = jax.nn.sigmoid(xg[:, H:2 * H] + hg[:, H:2 * H])
+    n = jnp.tanh(xg[:, 2 * H:] + r * hg[:, 2 * H:])
+    return (1.0 - z) * n + z * h
+
+
+def _fused_weights(params: Dict[str, Any], side: str):
+    """Flatten the param tree into an ordered tuple of arrays + names."""
+    arrs, names = [], []
+
+    def add(name, a):
+        arrs.append(jnp.asarray(a, jnp.float32))
+        names.append(name)
+
+    def addT(name, a):
+        # pre-transpose to (in_dim, out_dim): the kernel computes x @ w
+        add(name, np.ascontiguousarray(np.asarray(a).T))
+
+    addT("d1_w", params["dense_1"]["w"]); add("d1_b", params["dense_1"]["b"])
+    for i in range(1, 6):
+        g = params[f"gru{i}"]
+        addT(f"g{i}_wih", g["w_ih"]); addT(f"g{i}_whh", g["w_hh"])
+        add(f"g{i}_bih", g["b_ih"]); add(f"g{i}_bhh", g["b_hh"])
+        if side == "decoder":
+            glu = params[f"glu{i}"]
+            v = np.asarray(glu["v"]); gg = np.asarray(glu["g"])
+            w = gg[:, None] * v / np.linalg.norm(v, axis=1, keepdims=True)
+            addT(f"glu{i}_w", w)
+        c = params[f"conv{i}"]
+        addT(f"c{i}_w0", np.asarray(c["w"])[:, :, 0])
+        addT(f"c{i}_w1", np.asarray(c["w"])[:, :, 1])
+        add(f"c{i}_b", c["b"])
+    out_name = "output" if side == "decoder" else "z_dense"
+    addT("out_w", params[out_name]["w"]); add("out_b", params[out_name]["b"])
+    return arrs, names
+
+
+def make_fused_decoder_step(latent_dim: int, feature_dim: int,
+                            batch: int, tile: int = 128,
+                            nz: int = 3, interpret: bool = False):
+    """Build (step, pack_state, unpack_state).
+
+    step(weights_tuple, z (B, nz, latent), *state) ->
+        (features (B, nz*4, F), *new_state)
+    state = 5 GRU h (B, 96) + 5 conv hist (B, in_dim) (dilation-1 convs).
+    """
+    assert batch % tile == 0
+    n_tiles = batch // tile
+    gdims = _DEC_GRU_DIMS
+    cdims = _DEC_CONV_DIMS
+    out_dim = FRAMES_PER_STEP * feature_dim
+
+    NW = 2 + 5 * 8 + 2      # dense_1 + 5 x (gru4 + glu + conv3) + output
+
+    def kernel(z_ref, *refs):
+        nw = NW
+        w = refs[:nw]
+        state_in = refs[nw:nw + 10]
+        out_ref = refs[nw + 10]
+        state_out = refs[nw + 11:]
+
+        (d1_w, d1_b), rest = (w[0], w[1]), w[2:]
+        h = [state_in[i][:] for i in range(5)]
+        hist = [state_in[5 + i][:] for i in range(5)]
+
+        for step in range(nz):
+            z = z_ref[:, step, :]
+            x = jnp.tanh(jnp.dot(z, d1_w[:],
+                                 preferred_element_type=jnp.float32) + d1_b[:])
+            wi = 0
+            for i in range(5):
+                wih, whh, bih, bhh, gluw, cw0, cw1, cb = rest[wi:wi + 8]
+                wi += 8
+                h[i] = _gru_step(wih[:], bih[:], whh[:], bhh[:], x, h[i])
+                y = h[i] * jax.nn.sigmoid(
+                    jnp.dot(h[i], gluw[:],
+                            preferred_element_type=jnp.float32))
+                x = jnp.concatenate([x, y], axis=-1)
+                yc = jnp.tanh(jnp.dot(hist[i], cw0[:],
+                                      preferred_element_type=jnp.float32)
+                              + jnp.dot(x, cw1[:],
+                                        preferred_element_type=jnp.float32)
+                              + cb[:])
+                hist[i] = x
+                x = jnp.concatenate([x, yc], axis=-1)
+            out_w, out_b = w[nw - 2], w[nw - 1]
+            feats = jnp.dot(x, out_w[:],
+                            preferred_element_type=jnp.float32) + out_b[:]
+            out_ref[:, step, :] = feats
+
+        for i in range(5):
+            state_out[i][:] = h[i]
+            state_out[5 + i][:] = hist[i]
+
+    def weight_spec():
+        return pl.BlockSpec(memory_space=pltpu.ANY)
+
+    def step(weights, z, *state):
+        nw = len(weights)
+        in_specs = [pl.BlockSpec((tile, nz, latent_dim),
+                                 lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+        in_specs += [pl.BlockSpec(w.shape,
+                                  lambda b, nd=w.ndim: (0,) * nd,
+                                  memory_space=pltpu.VMEM)
+                     for w in weights]
+        for s in state:
+            in_specs.append(pl.BlockSpec(
+                (tile,) + s.shape[1:],
+                lambda b, nd=s.ndim: (b,) + (0,) * (nd - 1),
+                memory_space=pltpu.VMEM))
+        out_shapes = ([jax.ShapeDtypeStruct((batch, nz, out_dim), jnp.float32)]
+                      + [jax.ShapeDtypeStruct(s.shape, jnp.float32)
+                         for s in state])
+        out_specs = ([pl.BlockSpec((tile, nz, out_dim), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+                     + [pl.BlockSpec((tile,) + s.shape[1:],
+                                     lambda b, nd=s.ndim: (b,) + (0,) * (nd - 1),
+                                     memory_space=pltpu.VMEM)
+                        for s in state])
+        res = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs[:1] + in_specs[1:],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(z, *weights, *state)
+        feats, new_state = res[0], res[1:]
+        B = feats.shape[0]
+        feats = feats.reshape(B, nz * FRAMES_PER_STEP, feature_dim)
+        return feats, new_state
+
+    return step
+
+
+def decoder_state_zero(batch):
+    s = [jnp.zeros((batch, gh), jnp.float32) for _, gh in _DEC_GRU_DIMS]
+    s += [jnp.zeros((batch, cin), jnp.float32) for cin, _, _ in _DEC_CONV_DIMS]
+    return tuple(s)
+
+
+def decoder_weights(params):
+    arrs, _ = _fused_weights(params, "decoder")
+    return tuple(arrs)

@@ -30,17 +30,27 @@ from .ops import pilots as pilots_ops
 
 
 def make_streaming_rx_step(cfg: RADAEConfig, decoder: CoreDecoder,
-                           batch: int):
+                           batch: int, fused: bool = False,
+                           fused_tile: int = 512):
     """Jitted batched streaming rx step.
 
     step(dec_params, rx_packed (B, Nmf+M+Ncp, 2), dec_state)
       -> (features (B, 12, feature_dim), new_state)
 
     Mirrors receiver_one + stateful decoder (reference: radae_rxe.py:236,
-    304; dsp.py:487-512) batched over B independent streams."""
+    304; dsp.py:487-512) batched over B independent streams.
+
+    With fused=True the decoder runs as the Pallas VMEM-resident kernel
+    (ops/fused_core.py); dec_params must then be the fused weights tuple
+    and dec_state the fused state tuple."""
     Ns = cfg.Ns
     idx = pilots_ops.window3_index(cfg.Nc)
     pmat = pilots_ops.ls_pmat(cfg.w, cfg.Fs)
+    if fused:
+        from .ops.fused_core import make_fused_decoder_step
+        tile = min(fused_tile, batch)
+        dec_step = make_fused_decoder_step(cfg.latent_dim, cfg.feature_dim,
+                                           batch, tile=tile)
 
     def step(dec_params, rx_packed, dec_state):
         B = rx_packed.shape[0]
@@ -64,8 +74,12 @@ def make_streaming_rx_step(cfg: RADAEConfig, decoder: CoreDecoder,
             data = data * (1.0 / mag)[:, None, None]
 
         z_hat = ofdm.qpsk_demap(data.reshape(B, -1, cfg.latent_dim // 2))
-        features, dec_state = decoder(dec_params, z_hat, key=None,
-                                      state=dec_state)
+        if fused:
+            z_hat = z_hat.reshape(B, cfg.Nzmf, cfg.latent_dim)
+            features, dec_state = dec_step(dec_params, z_hat, *dec_state)
+        else:
+            features, dec_state = decoder(dec_params, z_hat, key=None,
+                                          state=dec_state)
         return features, dec_state
 
     return jax.jit(step)
