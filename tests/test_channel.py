@@ -96,3 +96,14 @@ def test_fading_depth_mpp(rng):
     H, _, _ = multipath_samples("mpp", 8000, 50, 30, 4.0, rng=rng)
     assert H.min() < 0.5
     assert H.max() > 1.2
+
+
+def test_analog_fm_baseline():
+    """Analog FM mod/demod: output SNR improves with C/N and shows the
+    threshold effect (reference: fm.m analog_fm_test)."""
+    from radae_tpu.channel.fm import AnalogFM
+    fm = AnalogFM()
+    hi = fm.snr_test(30.0)
+    lo = fm.snr_test(5.0)
+    assert hi > 20.0
+    assert hi > lo + 8.0
