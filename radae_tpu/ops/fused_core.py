@@ -179,3 +179,113 @@ def decoder_state_zero(batch):
 def decoder_weights(params):
     arrs, _ = _fused_weights(params, "decoder")
     return tuple(arrs)
+
+
+def make_fused_encoder_step(feature_dim: int, latent_dim: int,
+                            batch: int, tile: int = 512,
+                            nz: int = 3, bottleneck: int = 3,
+                            interpret: bool = False):
+    """Fused encoder step: features (B, nz*4, F) -> z (B, nz, latent).
+
+    Mirrors make_fused_decoder_step for the encoder stack (no GLU; conv
+    dilations 1,2,2,2,2 carried as per-layer history rings)."""
+    assert batch % tile == 0
+    n_tiles = batch // tile
+    dils = [d for _, _, d in _ENC_CONV_DIMS]
+    in_dim = FRAMES_PER_STEP * feature_dim
+
+    NW = 2 + 5 * 7 + 2      # dense_1 + 5 x (gru4 + conv3) + z_dense
+
+    def kernel(f_ref, *refs):
+        w = refs[:NW]
+        state_in = refs[NW:NW + 10]
+        out_ref = refs[NW + 10]
+        state_out = refs[NW + 11:]
+
+        d1_w, d1_b = w[0], w[1]
+        rest = w[2:]
+        h = [state_in[i][:] for i in range(5)]
+        # history ring: hist[i] has shape (tile, d, in_dim); index 0 is the
+        # oldest (from d steps ago)
+        hist = [state_in[5 + i][:] for i in range(5)]
+
+        for step in range(nz):
+            f = f_ref[:, step, :]
+            x = jnp.tanh(jnp.dot(f, d1_w[:],
+                                 preferred_element_type=jnp.float32) + d1_b[:])
+            wi = 0
+            for i in range(5):
+                wih, whh, bih, bhh, cw0, cw1, cb = rest[wi:wi + 7]
+                wi += 7
+                h[i] = _gru_step(wih[:], bih[:], whh[:], bhh[:], x, h[i])
+                x = jnp.concatenate([x, h[i]], axis=-1)
+                x_old = hist[i][:, 0, :]
+                yc = jnp.tanh(jnp.dot(x_old, cw0[:],
+                                      preferred_element_type=jnp.float32)
+                              + jnp.dot(x, cw1[:],
+                                        preferred_element_type=jnp.float32)
+                              + cb[:])
+                if dils[i] == 1:
+                    hist[i] = x[:, None, :]
+                else:
+                    hist[i] = jnp.concatenate(
+                        [hist[i][:, 1:, :], x[:, None, :]], axis=1)
+                x = jnp.concatenate([x, yc], axis=-1)
+            out_w, out_b = w[NW - 2], w[NW - 1]
+            z = jnp.dot(x, out_w[:],
+                        preferred_element_type=jnp.float32) + out_b[:]
+            if bottleneck == 1:
+                z = jnp.tanh(z)
+            out_ref[:, step, :] = z
+
+        for i in range(5):
+            state_out[i][:] = h[i]
+            state_out[5 + i][:] = hist[i]
+
+    def step(weights, feats, *state):
+        B, T, F = feats.shape
+        feats = feats.reshape(B, nz, in_dim)
+        in_specs = [pl.BlockSpec((tile, nz, in_dim), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+        in_specs += [pl.BlockSpec(w.shape,
+                                  lambda b, nd=w.ndim: (0,) * nd,
+                                  memory_space=pltpu.VMEM)
+                     for w in weights]
+        for s in state:
+            in_specs.append(pl.BlockSpec(
+                (tile,) + s.shape[1:],
+                lambda b, nd=s.ndim: (b,) + (0,) * (nd - 1),
+                memory_space=pltpu.VMEM))
+        out_shapes = ([jax.ShapeDtypeStruct((batch, nz, latent_dim), jnp.float32)]
+                      + [jax.ShapeDtypeStruct(s.shape, jnp.float32)
+                         for s in state])
+        out_specs = ([pl.BlockSpec((tile, nz, latent_dim),
+                                   lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+                     + [pl.BlockSpec((tile,) + s.shape[1:],
+                                     lambda b, nd=s.ndim: (b,) + (0,) * (nd - 1),
+                                     memory_space=pltpu.VMEM)
+                        for s in state])
+        res = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(feats, *weights, *state)
+        return res[0], res[1:]
+
+    return step
+
+
+def encoder_state_zero(batch):
+    s = [jnp.zeros((batch, gh), jnp.float32) for _, gh in _ENC_GRU_DIMS]
+    s += [jnp.zeros((batch, d, cin), jnp.float32)
+          for cin, _, d in _ENC_CONV_DIMS]
+    return tuple(s)
+
+
+def encoder_weights(params):
+    arrs, _ = _fused_weights(params, "encoder")
+    return tuple(arrs)

@@ -54,3 +54,23 @@ def test_fused_runtime_rx_step_matches_unfused():
         fused_core.make_fused_decoder_step = orig
     np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_x),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_encoder_parity_and_state():
+    from radae_tpu.models.core import CoreEncoder
+    from radae_tpu.ops.fused_core import (
+        make_fused_encoder_step, encoder_state_zero, encoder_weights)
+    enc = CoreEncoder(21, 80, bottleneck=3)
+    params = enc.init(0)
+    B = 8
+    step = make_fused_encoder_step(21, 80, B, tile=4, interpret=True)
+    w = encoder_weights(params)
+    state = encoder_state_zero(B)
+    rng = np.random.default_rng(0)
+    ref_state = None
+    for i in range(3):
+        feats = (rng.standard_normal((B, 12, 21)) * 0.3).astype(np.float32)
+        z_f, state = step(w, feats, *state)
+        z_r, ref_state = enc(params, feats, key=None, state=ref_state)
+        np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_r),
+                                   rtol=1e-4, atol=1e-5)
