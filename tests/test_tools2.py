@@ -164,3 +164,13 @@ def test_wav_pipeline_passthru(tmp_path):
     write_wav(win, pcm)
     wp_main(["random", win, wout, "--passthru"])
     assert os.path.exists(wout)
+
+
+def test_ota_driver(tmp_path):
+    """OTA-style end-to-end: chirp C/No calibration within 2 dB + radae
+    decode through the same channel (reference ota_test.sh shape)."""
+    from radae_tpu.tools.ota import main as ota_main
+    fin = str(tmp_path / "f.f32")
+    make_feature_file(fin, nframes=480)
+    rc = ota_main(["random", fin, "--CNodB", "50"])
+    assert rc == 0
