@@ -166,3 +166,49 @@ def test_c_vs_python_decode_parity(blob, tmp_path):
     loss = float(np.asarray(distortion_loss(
         py_out[None, :n, :20], c_out[None, :n, :20]))[0])
     assert loss < 0.01, loss
+
+
+def test_c_arrays_export_compiles_and_matches(blob, tmp_path):
+    """The generated compiled-in weight arrays build and produce the same
+    encoder output as the runtime blob (reference's rade_enc_data.c path,
+    README.md:577-597)."""
+    path, model, params = blob
+    from radae_tpu.export import write_c_arrays
+    write_c_arrays(str(tmp_path / "rade_weights_data"), params)
+
+    main_c = tmp_path / "main.c"
+    main_c.write_text(r'''
+#include <stdio.h>
+#include "rade_core.h"
+#include "rade_weights_data.h"
+int main(void) {
+    rw_blob b;
+    if (rade_weights_builtin(&b)) return 1;
+    rc_encoder e;
+    if (rc_encoder_init(&e, &b, 3)) return 2;
+    float feats[4 * 21];
+    for (int i = 0; i < 4 * 21; i++) feats[i] = 0.01f * (i % 17) - 0.05f;
+    float z[80];
+    rc_encoder_step(&e, z, feats);
+    for (int i = 0; i < 80; i++) printf("%.6f\n", z[i]);
+    return 0;
+}
+''')
+    nat = os.path.join(REPO, "native")
+    r = subprocess.run(
+        ["gcc", "-O0", "-I", nat, str(main_c),
+         str(tmp_path / "rade_weights_data.c"),
+         f"{nat}/nnet.c", f"{nat}/weights.c", f"{nat}/rade_core.c",
+         "-lm", "-o", str(tmp_path / "main")],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = subprocess.run([str(tmp_path / "main")], capture_output=True,
+                         text=True)
+    z_builtin = np.array([float(x) for x in out.stdout.split()])
+
+    # same step through the JAX encoder
+    feats = (0.01 * (np.arange(4 * 21) % 17) - 0.05).astype(np.float32)
+    z_jax, _ = model.core_encoder(params["encoder"],
+                                  feats.reshape(1, 4, 21), key=None)
+    np.testing.assert_allclose(z_builtin, np.asarray(z_jax).flatten(),
+                               rtol=1e-3, atol=2e-4)

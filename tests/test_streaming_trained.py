@@ -1,0 +1,133 @@
+"""Streaming robustness with the trained flagship (rate-Fs) checkpoint:
+the reference's most product-like ctest category (CMakeLists.txt:313-417):
+decode through AWGN/MPP at operating SNR with loss gates, frequency drift,
+false-sync detection via the auxdata unique word, EOO handling."""
+
+import os
+
+import numpy as np
+import pytest
+
+FIX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "fixtures")
+CKPT = os.path.join(FIX, "model_fs_flagship.npz")
+FEATS = os.path.join(FIX, "speech_feats.f32")
+
+
+@pytest.fixture(scope="module")
+def flagship():
+    if not (os.path.exists(CKPT) and os.path.exists(FEATS)):
+        pytest.skip("flagship fixture not present")
+    from radae_tpu.convert import load_checkpoint
+    params, meta = load_checkpoint(CKPT)
+    feats = np.fromfile(FEATS, np.float32).reshape(-1, 36)
+    return params, feats, meta
+
+
+def _tx_stream(params, feats, nframes=40):
+    from radae_tpu.apps.txe import RadaeTx
+    tx = RadaeTx(params=params, auxdata=True)
+    frames = []
+    for i in range(nframes):
+        frames.append(tx.do_radae_tx(
+            feats[i * 12:(i + 1) * 12].flatten()))
+    return np.concatenate(frames + [tx.do_eoo(),
+                                    np.zeros(3000, np.complex64)])
+
+
+def _rx_run(params, stream, **kw):
+    from radae_tpu.apps.rxe import RadaeRx
+    rx = RadaeRx(params=params, auxdata=True, v=0, **kw)
+    floats_out = np.zeros(rx.get_n_floats_out(), np.float32)
+    chunks = []
+    events = {"eoo": 0, "unsync": 0}
+    prev_state = "search"
+    ptr = 0
+    while ptr + rx.get_nin() <= len(stream):
+        nin = rx.get_nin()
+        ret = rx.do_radae_rx(stream[ptr:ptr + nin], floats_out)
+        ptr += nin
+        if ret & 1:
+            chunks.append(floats_out.reshape(-1, 36).copy())
+        if ret & 2:
+            events["eoo"] += 1
+        if prev_state == "sync" and rx.state == "search":
+            events["unsync"] += 1
+        prev_state = rx.state
+    out = np.concatenate(chunks) if chunks else np.zeros((0, 36))
+    return out, events, rx
+
+
+def _loss(feats_ref, feats_hat):
+    from radae_tpu.models.core import distortion_loss
+    n = min(len(feats_ref), len(feats_hat))
+    # align: decoded stream lags by the acquisition delay; scan small range
+    best = np.inf
+    for s in range(0, len(feats_ref) - n + 1):
+        l = float(np.asarray(distortion_loss(
+            feats_ref[None, s:s + n, :20], feats_hat[None, :n, :20]))[0])
+        best = min(best, l)
+    return best
+
+
+def _add_noise_at_snr(stream, snrdB, rng, Fs=8000, B=3000):
+    sig = stream[np.abs(stream) > 0]
+    S = (np.abs(sig) ** 2).mean()
+    sigma2 = S / 10 ** (snrdB / 10) * Fs / B
+    n = (np.sqrt(sigma2 / 2) * (rng.standard_normal(len(stream))
+                                + 1j * rng.standard_normal(len(stream))))
+    return (stream + n).astype(np.complex64)
+
+
+def test_streaming_clean(flagship):
+    """Clean-channel streaming loopback: loss gate ~ the ctest 'clean'
+    gate scaled for this small-data model."""
+    params, feats, meta = flagship
+    stream = _tx_stream(params, feats)
+    out, events, rx = _rx_run(params, stream)
+    assert out.shape[0] >= 34 * 12          # acq within ~0.7 s
+    loss = _loss(feats[:, :], out)
+    train_loss = float(meta.get("loss", 0.35))
+    assert loss < train_loss + 0.15, (loss, train_loss)
+    assert events["eoo"] >= 1
+
+
+def test_streaming_awgn_snr(flagship):
+    """AWGN at ~3 dB SNR (3 kHz): must stay in sync and decode with
+    bounded extra loss."""
+    params, feats, meta = flagship
+    rng = np.random.default_rng(0)
+    stream = _add_noise_at_snr(_tx_stream(params, feats), 3.0, rng)
+    out, events, rx = _rx_run(params, stream)
+    assert out.shape[0] >= 30 * 12, out.shape
+    loss = _loss(feats, out)
+    train_loss = float(meta.get("loss", 0.35))
+    assert loss < train_loss + 0.3, (loss, train_loss)
+
+
+def test_streaming_freq_drift(flagship):
+    """Frequency drift 0.1 Hz/s with a 2 Hz initial offset must be tracked
+    (ctest radae_rx_drift, CMakeLists.txt:363-371 analog)."""
+    params, feats, meta = flagship
+    stream = _tx_stream(params, feats)
+    n = len(stream)
+    t = np.arange(n) / 8000.0
+    freq = 2.0 + 0.1 * t
+    phase = 2 * np.pi * np.cumsum(freq) / 8000.0
+    stream = (stream * np.exp(1j * phase)).astype(np.complex64)
+    out, events, rx = _rx_run(params, stream)
+    assert out.shape[0] >= 30 * 12
+    # tracked frequency should be near the final offset
+    assert 1.0 < rx.fmax < 4.0, rx.fmax
+
+
+def test_false_sync_unsync_via_uw(flagship):
+    """Injected frequency error after sync (--foff_err) corrupts the
+    demod; the auxdata unique word must force unsync within ~2 s
+    (ctest false-sync category, CMakeLists.txt:462-471)."""
+    params, feats, meta = flagship
+    stream = _tx_stream(params, feats)
+    out, events, rx = _rx_run(params, stream, foff_err=25.0)
+    assert events["unsync"] >= 1, events
+    # and almost nothing should have been decoded as valid speech
+    assert out.shape[0] <= 20 * 12
