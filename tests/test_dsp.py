@@ -172,3 +172,35 @@ def test_single_carrier_baseline():
 def test_single_carrier_clock_offset():
     assert SingleCarrier().run_test(Nframes=30, sample_clock_offset_ppm=100)
     assert SingleCarrier().run_test(Nframes=30, sample_clock_offset_ppm=-100)
+
+
+def test_batched_acquisition_op_matches_numpy(cfg, acq):
+    """The jitted batched acquisition op must agree with the host
+    Acquisition class on candidate/tmax/fmax."""
+    from radae_tpu.ops.acquisition_op import make_detect_pilots
+    from radae_tpu.ops import cplx
+    rng = np.random.default_rng(7)
+    B = 3
+    buflen = 2 * cfg.Nmf + cfg.M + cfg.Ncp
+    streams = []
+    truths = []
+    for b, (offset, foff) in enumerate([(150, 0.0), (700, 20.0), (0, 0.0)]):
+        if b < 2:
+            s = make_pilot_stream(cfg, offset, freq_hz=foff,
+                                  rng=np.random.default_rng(b))[:buflen]
+            truths.append(acq.detect_pilots(s))
+        else:
+            s = ((rng.standard_normal(buflen)
+                  + 1j * rng.standard_normal(buflen)) / np.sqrt(2)
+                 ).astype(np.complex64)
+            truths.append(acq.detect_pilots(s))
+        streams.append(s)
+    batchd = cplx.pack_np(np.stack(streams))
+    detect = make_detect_pilots(cfg, B)
+    cand, tmax, fmax, Dth, Dm = detect(batchd)
+    for b in range(B):
+        ref_c, ref_t, ref_f = truths[b]
+        assert bool(cand[b]) == ref_c, b
+        if ref_c:
+            assert int(tmax[b]) == ref_t, (b, int(tmax[b]), ref_t)
+            assert abs(float(fmax[b]) - ref_f) < 1e-4, b
