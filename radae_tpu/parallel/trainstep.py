@@ -82,16 +82,11 @@ def make_train_step(model, lr: float = 3e-4, lr_decay_factor: float = 2.5e-5,
         return TrainState(params=params, opt_state=opt_state,
                           step=state.step + 1), metrics
 
-    if mesh is not None:
-        repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("dp"))
-        train_step = jax.jit(
-            train_step,
-            in_shardings=(None, data, data, data, None),
-            out_shardings=(None, None),
-        )
-    else:
-        train_step = jax.jit(train_step)
+    # batch inputs arrive already placed with a NamedSharding (via
+    # parallel.mesh.shard_batch); jit propagates those input shardings, so
+    # no explicit in_shardings needed (and H/G may be None for in-graph
+    # benign channels)
+    train_step = jax.jit(train_step)
     return init_state, train_step
 
 

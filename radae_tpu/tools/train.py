@@ -130,9 +130,16 @@ def main(argv=None):
         nb = 0
         with mesh:
             for feats, H, G in ds.batches(args.batch_size, rng):
-                Gp = cplx.pack_np(G) if cfg.rate_Fs else G.view(np.float32).reshape(G.shape + (2,))
-                batch = shard_batch(mesh, (feats, H, Gp))
-                state, metrics = train_step(state, *batch, key)
+                # benign channels are built in-graph: only ship real data
+                Hb = H if args.h_file else None
+                Gb = cplx.pack_np(G) if (cfg.rate_Fs and args.g_file) else None
+                batch = shard_batch(mesh, tuple(
+                    x for x in (feats, Hb, Gb) if x is not None))
+                it = iter(batch)
+                feats_d = next(it)
+                Hd = next(it) if Hb is not None else None
+                Gd = next(it) if Gb is not None else None
+                state, metrics = train_step(state, feats_d, Hd, Gd, key)
                 running += float(np.asarray(metrics["loss"])[0])
                 nb += 1
                 if nb % log_interval == 0:
