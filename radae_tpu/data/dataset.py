@@ -97,7 +97,12 @@ class RADAEDataset:
 
     def batches(self, batch_size: int, rng: np.random.Generator,
                 shuffle: bool = True, drop_last: bool = True):
-        """Yield (features, H, G) numpy batches: the host-side data path."""
+        """Yield (features, H, G) numpy batches: the host-side data path.
+
+        Auxdata symbols are re-drawn fresh for every batch.  (The reference
+        draws them once at dataset construction, dataset.py:59-64; with a
+        small corpus and many epochs the model then memorises the fixed
+        position->bit pattern instead of learning a data channel.)"""
         order = np.arange(self.num_sequences)
         if shuffle:
             rng.shuffle(order)
@@ -108,6 +113,11 @@ class RADAEDataset:
             if len(idx) < batch_size and drop_last:
                 break
             items = [self[i] for i in idx]
-            yield (np.stack([it[0] for it in items]),
+            feats = np.stack([it[0] for it in items])
+            if self.auxdata:
+                feats = feats.copy()
+                for b in range(feats.shape[0]):
+                    feats[b, :, -1:] = make_aux_symbols(feats.shape[1], rng)
+            yield (feats,
                    np.stack([it[1] for it in items]),
                    np.stack([it[2] for it in items]))
