@@ -45,7 +45,8 @@ def make_optimizer(lr: float, lr_decay_factor: float):
 
 
 def make_train_step(model, lr: float = 3e-4, lr_decay_factor: float = 2.5e-5,
-                    mesh=None, aux_ber: bool = False):
+                    mesh=None, aux_ber: bool = False,
+                    aux_weight_boost: float = 1.0):
     """Build (init_state, train_step).
 
     train_step(state, features, H, G, key) -> (state, metrics)
@@ -67,6 +68,12 @@ def make_train_step(model, lr: float = 3e-4, lr_decay_factor: float = 2.5e-5,
         if aux_ber:
             x = features[..., 20] * out["features_hat"][..., 20]
             aux = (x < 0).mean()
+            if aux_weight_boost != 1.0:
+                # optional training-time emphasis of the aux data channel
+                # (the published loss keeps the reference's 0.5/18 weight;
+                # the boost only adds extra gradient pressure)
+                extra = (features[..., 20] - out["features_hat"][..., 20]) ** 2
+                loss = loss + (aux_weight_boost - 1.0) * (0.5 / 18.0) * extra.mean()
         return loss, aux
 
     def train_step(state: TrainState, features, H, G, key):

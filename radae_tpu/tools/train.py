@@ -53,6 +53,8 @@ def build_parser():
     p.add_argument("--initial-checkpoint", type=str, default=None)
     p.add_argument("--plot_EqNo", type=str, default="")
     p.add_argument("--auxdata", action="store_true")
+    p.add_argument("--aux_weight_boost", type=float, default=1.0,
+                   help="training-time extra weight on the aux symbol loss")
     p.add_argument("--n_devices", type=int, default=0,
                    help="devices for the dp mesh (0 = all)")
     p.add_argument("--seed", type=int, default=0)
@@ -120,10 +122,11 @@ def main(argv=None):
 
     init_state, train_step = make_train_step(
         model, lr=args.lr, lr_decay_factor=args.lr_decay_factor, mesh=mesh,
-        aux_ber=args.auxdata)
+        aux_ber=args.auxdata, aux_weight_boost=args.aux_weight_boost)
     state = init_state(device_put_tree(params))
 
     log_interval = 10
+    metrics = None
     for epoch in range(start_epoch, args.epochs + 1):
         t0 = time.time()
         running = 0.0
@@ -149,7 +152,10 @@ def main(argv=None):
                     print(msg, file=sys.stderr)
         epoch_loss = running / max(nb, 1)
         dt = time.time() - t0
-        print(f"epoch {epoch}: loss {epoch_loss:.4f} "
+        ber_str = ""
+        if args.auxdata and metrics is not None and "ber" in metrics:
+            ber_str = f" BER {float(np.asarray(metrics['ber'])[0]):.3f}"
+        print(f"epoch {epoch}: loss {epoch_loss:.4f}{ber_str} "
               f"({nb} batches, {dt:.1f}s, "
               f"{nb*args.batch_size*args.sequence_length*0.01/dt:.0f} audio-sec/s)",
               file=sys.stderr)

