@@ -134,3 +134,83 @@ def test_false_sync_unsync_via_uw(flagship):
     # ...and the receiver then re-acquires at the true frequency and
     # decodes the remainder (the one-shot foff_err is consumed)
     assert out.shape[0] >= 15 * 12, out.shape
+
+
+def test_eoo_data_channel(flagship):
+    """Experimental EOO data channel: bits embedded in the EOO frame are
+    recovered with BER < 5% (ctest EOO data category, CMakeLists.txt:
+    576-606, eoo_ber.py gate)."""
+    from radae_tpu.apps.txe import RadaeTx
+    params, feats, meta = flagship
+    tx = RadaeTx(params=params, auxdata=True)
+    rng = np.random.default_rng(65647)
+    tx_bits = np.sign(rng.random(tx.get_Neoo_bits()) - 0.5).astype(np.float32)
+    tx.set_eoo_bits(tx_bits)
+    stream = _tx_stream_with_tx(tx, feats, nframes=10)
+    out, events, rx, eoo_soft = _rx_run_eoo(params, stream)
+    assert events["eoo"] >= 1
+    n_bits = len(tx_bits)
+    ber = float((eoo_soft[:n_bits] * tx_bits < 0).mean())
+    assert ber < 0.05, ber
+
+
+def _tx_stream_with_tx(tx, feats, nframes=10):
+    frames = [tx.do_radae_tx(feats[i * 12:(i + 1) * 12].flatten())
+              for i in range(nframes)]
+    return np.concatenate(frames + [tx.do_eoo(),
+                                    np.zeros(3000, np.complex64)])
+
+
+def _rx_run_eoo(params, stream):
+    from radae_tpu.apps.rxe import RadaeRx
+    rx = RadaeRx(params=params, auxdata=True, v=0)
+    floats_out = np.zeros(rx.get_n_floats_out(), np.float32)
+    chunks = []
+    events = {"eoo": 0, "unsync": 0, "fmax_in_sync": None}
+    eoo_soft = None
+    ptr = 0
+    while ptr + rx.get_nin() <= len(stream):
+        nin = rx.get_nin()
+        ret = rx.do_radae_rx(stream[ptr:ptr + nin], floats_out)
+        ptr += nin
+        if ret & 1:
+            chunks.append(floats_out.reshape(-1, 36).copy())
+        if ret & 2:
+            events["eoo"] += 1
+            eoo_soft = floats_out.copy()
+    out = np.concatenate(chunks) if chunks else np.zeros((0, 36))
+    return out, events, rx, eoo_soft
+
+
+def test_c_api_with_trained_weights(flagship, tmp_path):
+    """Full native C receiver on a Python-transmitted trained-model stream:
+    decode quality within loss delta of the Python receiver."""
+    import subprocess
+    from radae_tpu.export import write_blob
+    from radae_tpu.models.core import distortion_loss
+    params, feats, meta = flagship
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(["make", "-C", os.path.join(REPO, "native")],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    blob = str(tmp_path / "w.bin")
+    write_blob(blob, params)
+
+    stream = _tx_stream(params, feats, nframes=40)
+    rxf = str(tmp_path / "rx.f32")
+    stream.astype(np.complex64).tofile(rxf)
+    rc = subprocess.run([os.path.join(REPO, "native", "build", "radae_rx"),
+                         blob], stdin=open(rxf, "rb"),
+                        capture_output=True, cwd=str(tmp_path))
+    c_out = np.frombuffer(rc.stdout, np.float32).reshape(-1, 36)
+    assert c_out.shape[0] >= 34 * 12, (c_out.shape, rc.stderr.decode())
+    loss = _loss(feats, c_out)
+    train_loss = float(meta.get("loss", 0.35))
+    assert loss < train_loss + 0.15, (loss, train_loss)
+    assert "EOO detected" in rc.stderr.decode()
+
+    # C receiver must match the Python streaming receiver exactly
+    py_out, _, _ = _rx_run(params, stream)
+    n = min(len(py_out), len(c_out))
+    delta = _loss(py_out[:n], c_out[:n])
+    assert delta < 0.01, delta
