@@ -149,3 +149,19 @@ def test_bottleneck2():
     H = model.default_H(B, cfg.num_timesteps_at_rate_Rs(T))
     out = model.forward(params, feats, H, key=jax.random.PRNGKey(7))
     assert out["features_hat"].shape == (B, T, 20)
+
+
+def test_latent40_forward():
+    """latent_dim 40 (Nc=15) end-to-end (reference --latent-dim 40 models)."""
+    cfg = RADAEConfig(feature_dim=20, latent_dim=40, EbNodB=10.0,
+                      rate_Fs=True, pilots=True, pilot_eq=True,
+                      eq_mean6=False, cyclic_prefix=0.004, bottleneck=3,
+                      coarse_mag=True)
+    assert cfg.Nc == 15
+    model, params = make_model(cfg)
+    B, T = 1, 120
+    feats = make_features(B, T, 20)
+    H = model.default_H(B, cfg.num_timesteps_at_rate_Rs(T))
+    out = model.forward(params, feats, H, key=jax.random.PRNGKey(1))
+    assert out["features_hat"].shape == (B, T, 20)
+    assert out["z_hat"].shape == (B, T // 4, 40)
