@@ -47,6 +47,7 @@ def main(argv=None):
     p.add_argument("--g_file", type=str, default="")
     p.add_argument("--passthru", action="store_true",
                    help="vocoder-only roundtrip, no radae")
+    p.add_argument("--auxdata", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -68,6 +69,8 @@ def main(argv=None):
                      "--rate_Fs", "--pilots", "--pilot_eq", "--eq_ls",
                      "--cp", "0.004", "--bottleneck", "3", "--coarse_mag",
                      "--time_offset", "-16", "--seed", str(args.seed)]
+            if args.auxdata:
+                argv2.append("--auxdata")
             if args.g_file:
                 argv2 += ["--g_file", args.g_file]
             inference.main(argv2)
