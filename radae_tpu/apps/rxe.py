@@ -19,7 +19,7 @@ import numpy as np
 
 from ..config import flagship_config
 from ..models.core import CoreDecoder
-from ..data.io import NB_TOTAL_FEATURES, NUM_USED_FEATURES
+from ..data.io import NB_TOTAL_FEATURES
 from ..dsp.bpf import ComplexBPF
 from ..dsp.acquisition import Acquisition
 from ..dsp.streaming import ReceiverOne
@@ -267,7 +267,7 @@ class RadaeRx:
 
 
 def main(argv=None):
-    import argparse, struct
+    import argparse
     parser = argparse.ArgumentParser(
         description="RADAE streaming receiver: IQ.f32 on stdin, features.f32 on stdout")
     parser.add_argument("--model_name", type=str, default="")

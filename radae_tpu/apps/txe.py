@@ -11,15 +11,14 @@ from __future__ import annotations
 import sys
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from ..config import RADAEConfig, flagship_config
+from ..config import flagship_config
 from ..models.core import CoreEncoder
 from ..ops import ofdm
 from ..data.io import NB_TOTAL_FEATURES, NUM_USED_FEATURES
 from ..dsp.bpf import ComplexBPF
-from ..utils.hostio import to_host, device_put_tree
+from ..utils.hostio import device_put_tree
 from ..convert import load_checkpoint, load_torch_checkpoint
 
 
@@ -148,7 +147,7 @@ class RadaeTx:
 
 
 def main(argv=None):
-    import argparse, struct
+    import argparse
     parser = argparse.ArgumentParser(
         description="RADAE streaming transmitter: features.f32 on stdin, IQ.f32 on stdout")
     parser.add_argument("--model_name", type=str, default="")

@@ -9,7 +9,7 @@ baseline the BBFM autoencoder is compared against (reference: BBFM.md).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -13,7 +13,7 @@ reference gets from torch's global RNG (radae.py:470-473,556-564).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,9 +19,11 @@ def make_aux_symbols(num_frames: int, rng: np.random.Generator,
                      symb_repeat: int = 4) -> np.ndarray:
     """One +-1 auxdata symbol per latent step, repeated over 4 frames."""
     aux = np.zeros((num_frames, 1), dtype=np.float32)
-    draws = 1.0 - 2.0 * (rng.random(num_frames // symb_repeat) > 0.5)
+    n_draws = -(-num_frames // symb_repeat)          # ceil
+    draws = 1.0 - 2.0 * (rng.random(n_draws) > 0.5)
     for i in range(symb_repeat):
-        aux[i::symb_repeat, 0] = draws[: len(aux[i::symb_repeat, 0])]
+        seg = aux[i::symb_repeat, 0]
+        seg[:] = draws[: len(seg)]
     return aux
 
 

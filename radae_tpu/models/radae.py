@@ -24,7 +24,7 @@ from ..config import RADAEConfig
 from ..ops import cplx, ofdm, pilots as pilots_ops
 from ..ops.cplx import C
 from ..channel.simulate import (
-    draw_EbNodB, rate_fs_channel, rate_rs_channel, complex_normal)
+    draw_EbNodB, rate_fs_channel, rate_rs_channel)
 from .core import CoreEncoder, CoreDecoder
 
 

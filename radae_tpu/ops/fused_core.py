@@ -14,7 +14,6 @@ State (GRU h, conv history) is carried as kernel inputs/outputs.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict
 
 import jax
@@ -26,7 +25,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.core import (
     _DEC_GRU_DIMS, _DEC_CONV_DIMS, _ENC_GRU_DIMS, _ENC_CONV_DIMS,
     FRAMES_PER_STEP)
-from ..models import layers as L
 
 
 def _gru_step(w_ih, b_ih, w_hh, b_hh, x, h):

@@ -10,7 +10,6 @@ exp(-j*angle(h)) — identical math, no transcendental angle/exp.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -16,8 +16,6 @@ Inputs/outputs are packed (..., 2) float arrays for complex quantities.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,7 +23,6 @@ import numpy as np
 from .config import RADAEConfig
 from .models.core import CoreEncoder, CoreDecoder
 from .ops import cplx, ofdm
-from .ops.cplx import C
 from .ops import pilots as pilots_ops
 
 

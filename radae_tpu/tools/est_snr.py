@@ -10,7 +10,6 @@ straight-line correction snr_est = m*snr + c used at runtime.
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 

@@ -21,7 +21,7 @@ import numpy as np
 from ..config import RADAEConfig
 from ..models.radae import RADAE
 from ..models.core import distortion_loss
-from ..channel.doppler import multipath_samples, CHANNEL_PRESETS
+from ..channel.doppler import multipath_samples
 from ..parallel.mesh import make_mesh, shard_batch
 from ..convert import load_checkpoint, load_torch_checkpoint
 from ..utils.hostio import device_put_tree

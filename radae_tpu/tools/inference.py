@@ -17,7 +17,7 @@ import numpy as np
 from ..config import RADAEConfig
 from ..models.radae import RADAE
 from ..models.core import distortion_loss
-from ..ops import cplx, ofdm
+from ..ops import cplx
 from ..convert import load_checkpoint, load_torch_checkpoint
 from ..utils.hostio import device_put_tree
 from ..data.io import (NB_TOTAL_FEATURES, NUM_USED_FEATURES, read_f32,

@@ -14,7 +14,6 @@ import sys
 import numpy as np
 
 from ..config import RADAEConfig
-from ..ops import cplx
 from ..ops.cplx import C
 
 

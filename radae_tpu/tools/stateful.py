@@ -11,7 +11,6 @@ externally-produced latents (--read_latent, used by the C encoder port).
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 
