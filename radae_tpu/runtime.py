@@ -83,18 +83,31 @@ def make_streaming_rx_step(cfg: RADAEConfig, decoder: CoreDecoder,
 
 
 def make_streaming_tx_step(cfg: RADAEConfig, encoder: CoreEncoder,
-                           batch: int):
+                           batch: int, fused: bool = False,
+                           fused_tile: int = 512):
     """Jitted batched streaming tx step.
 
     step(enc_params, features (B, 12, F), enc_state)
-      -> (tx_packed (B, Nmf, 2), new_state)"""
+      -> (tx_packed (B, Nmf, 2), new_state)
+
+    With fused=True the encoder runs as the Pallas VMEM-resident kernel;
+    enc_params/enc_state must then be the fused tuples."""
     # one modem frame: Nzmf z-vectors -> Ns data symbol rows
     n_rs = cfg.Nzmf * cfg.latent_dim // (cfg.bps * cfg.Nc)
+    if fused:
+        from .ops.fused_core import make_fused_encoder_step
+        enc_step = make_fused_encoder_step(
+            cfg.feature_dim, cfg.latent_dim, batch,
+            tile=min(fused_tile, batch), bottleneck=cfg.bottleneck)
 
     def step(enc_params, features, enc_state):
         B = features.shape[0]
-        z, enc_state = encoder(enc_params, features, key=None,
-                               state=enc_state)
+        if fused:
+            z, enc_state = enc_step(enc_params, features, *enc_state)
+            z = z.reshape(B, -1, cfg.latent_dim)
+        else:
+            z, enc_state = encoder(enc_params, features, key=None,
+                                   state=enc_state)
         tx_sym = ofdm.qpsk_map(z)
         if cfg.bottleneck == 2:
             tx_sym = ofdm.magnitude_bottleneck(tx_sym)

@@ -74,3 +74,33 @@ def test_fused_encoder_parity_and_state():
         z_r, ref_state = enc(params, feats, key=None, state=ref_state)
         np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_r),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_runtime_tx_step_matches_unfused():
+    import jax
+    from radae_tpu.config import flagship_config
+    from radae_tpu.runtime import make_streaming_tx_step
+    from radae_tpu.models.core import CoreEncoder
+    from radae_tpu.ops import fused_core
+
+    cfg = flagship_config()
+    enc = CoreEncoder(cfg.feature_dim, cfg.latent_dim, cfg.bottleneck)
+    params = enc.init(0)
+    B = 4
+    rng = np.random.default_rng(2)
+    feats = (rng.standard_normal((B, 12, cfg.feature_dim)) * 0.3).astype(np.float32)
+
+    step_x = make_streaming_tx_step(cfg, enc, B, fused=False)
+    tx_x, _ = step_x(params, feats, enc.zero_state(B))
+
+    orig = fused_core.make_fused_encoder_step
+    fused_core.make_fused_encoder_step = (
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    try:
+        step_f = make_streaming_tx_step(cfg, enc, B, fused=True, fused_tile=4)
+        w = fused_core.encoder_weights(params)
+        tx_f, _ = step_f(tuple(w), feats, fused_core.encoder_state_zero(B))
+    finally:
+        fused_core.make_fused_encoder_step = orig
+    np.testing.assert_allclose(np.asarray(tx_f), np.asarray(tx_x),
+                               rtol=1e-4, atol=1e-5)
