@@ -174,3 +174,16 @@ def test_ota_driver(tmp_path):
     make_feature_file(fin, nframes=480)
     rc = ota_main(["random", fin, "--CNodB", "50"])
     assert rc == 0
+
+
+def test_plots_tool(tmp_path):
+    from radae_tpu.tools.plots import main as plots_main
+    rng = np.random.default_rng(0)
+    z = np.sign(rng.standard_normal(4000)).astype(np.float32)
+    zf = str(tmp_path / "z.f32"); z.tofile(zf)
+    iq = (rng.standard_normal(8000) + 1j*rng.standard_normal(8000)).astype(np.complex64)
+    qf = str(tmp_path / "iq.f32"); iq.tofile(qf)
+    for kind, src in (("scatter", zf), ("spectrum", qf), ("papr", qf)):
+        out = str(tmp_path / f"{kind}.png")
+        plots_main([kind, src, "--out", out])
+        assert os.path.getsize(out) > 1000
