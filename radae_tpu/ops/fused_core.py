@@ -27,10 +27,12 @@ from ..models.core import (
     FRAMES_PER_STEP)
 
 
-def _gru_step(w_ih, b_ih, w_hh, b_hh, x, h):
+def _gru_step(w_ih, b_ih, w_hh, b_hh, x, h, cd=jnp.float32):
     # weights pre-transposed to (in, out)
-    xg = jnp.dot(x, w_ih, preferred_element_type=jnp.float32) + b_ih
-    hg = jnp.dot(h, w_hh, preferred_element_type=jnp.float32) + b_hh
+    xg = jnp.dot(x.astype(cd), w_ih.astype(cd),
+                 preferred_element_type=jnp.float32) + b_ih
+    hg = jnp.dot(h.astype(cd), w_hh.astype(cd),
+                 preferred_element_type=jnp.float32) + b_hh
     H = h.shape[-1]
     r = jax.nn.sigmoid(xg[:, :H] + hg[:, :H])
     z = jax.nn.sigmoid(xg[:, H:2 * H] + hg[:, H:2 * H])
@@ -71,7 +73,8 @@ def _fused_weights(params: Dict[str, Any], side: str):
 
 def make_fused_decoder_step(latent_dim: int, feature_dim: int,
                             batch: int, tile: int = 128,
-                            nz: int = 3, interpret: bool = False):
+                            nz: int = 3, interpret: bool = False,
+                            compute_dtype=jnp.float32):
     """Build (step, pack_state, unpack_state).
 
     step(weights_tuple, z (B, nz, latent), *state) ->
@@ -85,6 +88,7 @@ def make_fused_decoder_step(latent_dim: int, feature_dim: int,
     out_dim = FRAMES_PER_STEP * feature_dim
 
     NW = 2 + 5 * 8 + 2      # dense_1 + 5 x (gru4 + glu + conv3) + output
+    cd = compute_dtype
 
     def kernel(z_ref, *refs):
         nw = NW
