@@ -142,3 +142,36 @@ def test_clock_offset_tolerance(tx_stream, ppm):
     assert n_valid >= nframes - 10, (n_valid, nframes)
     if abs(ppm) >= 5000:
         assert slips >= 1, slips   # nin slip mechanism engaged
+
+
+def test_acquisition_0dB_snr_mpp(tx_stream):
+    """Acquire at 0 dB SNR on the MPP (1 Hz Doppler, 2 ms delay) channel —
+    the README headline condition (README.md:437,447): mean acq < 1.5 s,
+    P(fail) < 0.2."""
+    from radae_tpu.channel.doppler import multipath_samples
+    cfg, model, params, stream = tx_stream
+    rng = np.random.default_rng(7)
+    _, G, hf_gain = multipath_samples("mpp", cfg.Fs, cfg.Rs_dash, cfg.Nc,
+                                      len(stream) / cfg.Fs + 1, rng=rng)
+    G = hf_gain * G[: len(stream)]
+    d = cfg.d_samples
+    faded = stream * G[:, 0]
+    faded[d:] += stream[:-d] * G[:-d, 1]
+    # renormalise power then add noise at 0 dB SNR (3 kHz)
+    faded *= np.sqrt((np.abs(stream) ** 2).mean()
+                     / (np.abs(faded) ** 2).mean())
+    noisy = _add_noise_at_snr(faded.astype(np.complex64), 0.0, rng)
+
+    acq = Acquisition(cfg.Fs, cfg.Rs, cfg.M, cfg.Ncp, cfg.Nmf,
+                      cfg.p, cfg.pend)
+    buflen = 2 * cfg.Nmf + cfg.M + cfg.Ncp
+    trials, n_ok = 5, 0
+    for trial in range(trials):
+        start = trial * 4 * cfg.Nmf
+        for mf in range(12):          # 1.44 s budget
+            buf = noisy[start + mf * cfg.Nmf: start + mf * cfg.Nmf + buflen]
+            cand, tmax, fmax = acq.detect_pilots(buf)
+            if cand and abs(fmax) <= 2.5:
+                n_ok += 1
+                break
+    assert n_ok >= trials - 1, n_ok
