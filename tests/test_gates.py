@@ -175,3 +175,29 @@ def test_acquisition_0dB_snr_mpp(tx_stream):
                 n_ok += 1
                 break
     assert n_ok >= trials - 1, n_ok
+
+
+def test_acquisition_with_sine_interferer(tx_stream):
+    """Acquire with a -3 dBc co-channel sine interferer within 2 s
+    (README.md:449, ctest 244-252)."""
+    cfg, model, params, stream = tx_stream
+    rng = np.random.default_rng(8)
+    S = (np.abs(stream) ** 2).mean()
+    sine_amp = np.sqrt(S * 10 ** (-3 / 10))
+    sine = sine_amp * np.exp(1j * 2 * np.pi * 1000
+                             * np.arange(len(stream)) / cfg.Fs)
+    noisy = _add_noise_at_snr((stream + sine).astype(np.complex64), 3.0, rng)
+
+    acq = Acquisition(cfg.Fs, cfg.Rs, cfg.M, cfg.Ncp, cfg.Nmf,
+                      cfg.p, cfg.pend)
+    buflen = 2 * cfg.Nmf + cfg.M + cfg.Ncp
+    trials, n_ok = 5, 0
+    for trial in range(trials):
+        start = trial * 4 * cfg.Nmf
+        for mf in range(16):          # < 2 s budget
+            buf = noisy[start + mf * cfg.Nmf: start + mf * cfg.Nmf + buflen]
+            cand, tmax, fmax = acq.detect_pilots(buf)
+            if cand and abs(fmax) <= 2.5:
+                n_ok += 1
+                break
+    assert n_ok >= trials - 1, n_ok
