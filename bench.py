@@ -3,27 +3,65 @@
 Batches the 120 ms streaming receiver step (OFDM demod + LS pilot EQ +
 stateful core decoder — the radae_rxe hot path) across independent streams
 (channel realisations), the serving configuration for TPU.  The decoder
-runs as the Pallas VMEM-resident fused kernel (radae_tpu/ops/fused_core.py)
-with an XLA fallback.
+runs as the Pallas VMEM-resident fused kernel (radae_tpu/ops/fused_core.py).
 
 Baseline: the reference streaming receiver decodes 9.82 s of audio in
 6.41 s of CPU time (65.26% of real time on a laptop core; reference
 README.md:312-318) = 1.532 audio-seconds/s.
+
+Robustness contract (the driver runs this under `timeout` on a relay-
+tunnelled TPU where session setup alone can take 30 s - 5 min):
+  * the KNOWN-GOOD FASTEST config runs first and its result is recorded
+    immediately;
+  * SIGTERM/SIGALRM handlers flush the best result obtained so far, so
+    even a driver timeout yields a parsed JSON line;
+  * larger configs are attempted only while inside the internal budget.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "audio-seconds/s/chip", "vs_baseline": N}
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
 
 REF_AUDIO_SEC_PER_S = 9.82 / 6.41     # reference CPU realtime throughput
+T_START = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+
+_best = {"value": None, "config": None, "printed": False}
 
 
-def run_bench(batch: int, n_frames: int = 30, fused: bool = True):
+def _emit(error=None):
+    """Print the single JSON result line (idempotent)."""
+    if _best["printed"]:
+        return
+    _best["printed"] = True
+    if _best["value"] is None:
+        out = {"metric": "streaming_rx_decode", "value": 0.0,
+               "unit": "audio-seconds/s/chip", "vs_baseline": 0.0,
+               "error": (error or "no config completed")[:200]}
+    else:
+        out = {"metric": "streaming_rx_decode",
+               "value": round(_best["value"], 1),
+               "unit": "audio-seconds/s/chip",
+               "vs_baseline": round(_best["value"] / REF_AUDIO_SEC_PER_S, 1),
+               "config": _best["config"]}
+    sys.stdout.write(json.dumps(out) + "\n")
+    sys.stdout.flush()
+
+
+def _on_signal(signum, frame):
+    _emit(error=f"interrupted by signal {signum}")
+    os._exit(0)
+
+
+def run_bench(batch: int, n_frames: int = 30, fused: bool = True,
+              tile: int = 512):
     """Steady-state decode throughput via the two-point slope method.
 
     On tunnelled TPU runtimes a single device->host readback carries a
@@ -32,30 +70,23 @@ def run_bench(batch: int, n_frames: int = 30, fused: bool = True):
     on device) and take (t2-t1)/(n2-n1) as the per-step time."""
     import jax
     from radae_tpu.config import flagship_config
-    from radae_tpu.models.core import CoreDecoder, CoreEncoder
-    from radae_tpu.runtime import make_streaming_rx_step, make_streaming_tx_step
+    from radae_tpu.models.core import CoreDecoder
+    from radae_tpu.runtime import make_streaming_rx_step
     from radae_tpu.utils.hostio import device_put_tree
 
     cfg = flagship_config()
-    encoder = CoreEncoder(cfg.feature_dim, cfg.latent_dim, cfg.bottleneck)
     decoder = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
-    enc_params = device_put_tree(encoder.init(0))
     dec_params_tree = decoder.init(1)
 
-    # build one modem frame of real signal, tile across streams + noise
-    tx_step = make_streaming_tx_step(cfg, encoder, 1)
+    # The step is throughput-timed, so any well-scaled signal works: feed
+    # unit-power noise shaped like one modem frame + look-ahead symbol.
+    # (Avoids compiling the tx path just to manufacture input.)
     rng = np.random.default_rng(0)
-    feats1 = (rng.standard_normal((1, 12, cfg.feature_dim)) * 0.3).astype(np.float32)
-    enc_state = encoder.zero_state(1)
-    tx_packed, _ = tx_step(enc_params, feats1, enc_state)
-    tx1 = np.asarray(tx_packed)[0]                       # (Nmf, 2)
+    n_samp = (cfg.Ns + 2) * (cfg.M + cfg.Ncp)
+    rx = (rng.standard_normal((batch, n_samp, 2)) * 0.5).astype(np.float32)
 
-    stream = np.concatenate([tx1, tx1[: cfg.M + cfg.Ncp]], axis=0)  # (len, 2)
-    rx = np.broadcast_to(stream[None], (batch,) + stream.shape).copy()
-    rx += 0.01 * rng.standard_normal(rx.shape).astype(np.float32)
-    rx = np.ascontiguousarray(rx, np.float32)
-
-    rx_step = make_streaming_rx_step(cfg, decoder, batch, fused=fused)
+    rx_step = make_streaming_rx_step(cfg, decoder, batch, fused=fused,
+                                     fused_tile=tile)
     if fused:
         from radae_tpu.ops.fused_core import (decoder_weights,
                                               decoder_state_zero)
@@ -91,26 +122,35 @@ def run_bench(batch: int, n_frames: int = 30, fused: bool = True):
 
 
 def main():
-    value = None
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    if hasattr(signal, "SIGALRM"):
+        signal.signal(signal.SIGALRM, _on_signal)
+        signal.alarm(int(BUDGET_S))
+
     err = None
-    for batch, fused in ((4096, False), (1024, True), (1024, False), (8, False)):
-        try:
-            value = run_bench(batch, fused=fused)
+    # Fastest-known-good first (measured sweep, round 2: B=2048/tile=512 =
+    # 643k audio-s/s, 0.38 ms/step; B=4096/tile=512 VMEM-OOMs).  Each
+    # success records immediately so a timeout mid-rung still reports.
+    ladder = ((2048, True, 512), (1024, True, 512),
+              (1024, False, 0), (8, False, 0))
+    for batch, fused, tile in ladder:
+        elapsed = time.time() - T_START
+        if _best["value"] is not None:
+            break                       # got a number: don't risk it
+        if elapsed > 0.8 * BUDGET_S:
             break
-        except Exception as e:            # TPU runtime flake: retry smaller
+        try:
+            v = run_bench(batch, fused=fused, tile=tile or 512)
+            if _best["value"] is None or v > _best["value"]:
+                _best["value"] = v
+                _best["config"] = f"B={batch},fused={fused},tile={tile}"
+        except Exception as e:          # TPU runtime flake: try next rung
             err = f"{type(e).__name__}: {e}"
             continue
-    if value is None:
-        print(json.dumps({"metric": "streaming_rx_decode", "value": 0.0,
-                          "unit": "audio-seconds/s/chip", "vs_baseline": 0.0,
-                          "error": (err or "")[:200]}))
-        return
-    print(json.dumps({
-        "metric": "streaming_rx_decode",
-        "value": round(value, 1),
-        "unit": "audio-seconds/s/chip",
-        "vs_baseline": round(value / REF_AUDIO_SEC_PER_S, 1),
-    }))
+    if hasattr(signal, "SIGALRM"):
+        signal.alarm(0)
+    _emit(error=err)
 
 
 if __name__ == "__main__":

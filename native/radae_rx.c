@@ -28,7 +28,7 @@ int main(int argc, char **argv)
     float *eoo = malloc(n_eoo * sizeof(float));
     RADE_COMP *rx = malloc(rade_nin_max(r) * sizeof(RADE_COMP));
 
-    int frames = 0;
+    int frames = 0, prev_sync = 0, n_unsync = 0, n_sync = 0;
     while (1) {
         int nin = rade_nin(r);
         if (fread(rx, sizeof(RADE_COMP), nin, stdin) != (size_t)nin)
@@ -43,10 +43,15 @@ int main(int argc, char **argv)
             fclose(f);
             fprintf(stderr, "EOO detected\n");
         }
+        int s = rade_sync(r);
+        if (s && !prev_sync) { n_sync++; fprintf(stderr, "sync\n"); }
+        if (!s && prev_sync) { n_unsync++; fprintf(stderr, "unsync\n"); }
+        prev_sync = s;
         frames++;
     }
-    fprintf(stderr, "%d frames, sync=%d freq=%.2f snr=%d\n",
-            frames, rade_sync(r), rade_freq_offset(r), rade_snrdB_3k_est(r));
+    fprintf(stderr, "%d frames, sync=%d syncs=%d unsyncs=%d freq=%.2f snr=%d\n",
+            frames, rade_sync(r), n_sync, n_unsync,
+            rade_freq_offset(r), rade_snrdB_3k_est(r));
     rade_close(r);
     rade_finalize();
     free(features); free(eoo); free(rx);

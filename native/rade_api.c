@@ -92,7 +92,9 @@ struct rade *rade_open(const char *model_file, int flags)
     r->Nmf_unsync = (int)(TUNSYNC_S * m->Fs / m->Nmf);
     r->synced_count_one_sec = m->Fs / m->Nmf;
     r->verbose = !(flags & RADE_VERBOSE_0);
-    if (flags & RADE_FOFF_TEST) r->foff_err = 2.0f;
+    /* developer false-sync test: +10 Hz injected at sync, matching the
+       reference ABI semantics (reference: src/rade_api.c:263-264) */
+    if (flags & RADE_FOFF_TEST) r->foff_err = 10.0f;
     return r;
 }
 
@@ -206,7 +208,7 @@ int rade_rx(struct rade *r, float features_out[], int *has_eoo_out,
         int win = Nmf + M + Ncp;
         float w = 2.0 * M_PI * r->fmax / m->Fs;
         rc_cplx dec = cexpf(-I * (float)w);
-        static rc_cplx rx1[2 * 960 + RO_MAX_M + RO_MAX_NCP];
+        rc_cplx rx1[2 * 960 + RO_MAX_M + RO_MAX_NCP]; /* ~34 KB stack: re-entrant */
         const rc_cplx *src = r->rx_buf + r->tmax - Ncp;
         rc_cplx ph = r->rx_phase;
         for (int n = 0; n < win; n++) {

@@ -99,7 +99,7 @@ class RADAE:
         return tx
 
     # -- full autoencoder + channel forward --------------------------------
-    def forward(self, params, features, H, G=None, key=None):
+    def forward(self, params, features, H, G=None, key=None, EbNodB=None):
         """Run encoder -> channel -> decoder.
 
         Args:
@@ -109,6 +109,10 @@ class RADAE:
              float (B,N,2,2) (required when rate_Fs; default_G otherwise)
           key: PRNG key driving channel noise, Eb/No draws and quantization
                noise; None = fixed seed.
+          EbNodB: optional per-row Eb/No tensor, shape (B,) or (B,1,1).
+               Overrides the config draw, so one compiled forward serves a
+               whole SNR grid (the reference recompiles its model per SNR
+               via inference.sh loops; see tools/evaluate.py).
         Returns dict with features_hat, z, z_hat, tx_sym, tx, rx, sigma,
         EbNodB, final_phase (reference: radae.py:457-669).
         """
@@ -124,7 +128,10 @@ class RADAE:
         if key is None:
             key = jax.random.PRNGKey(0)
         k_ebno, k_enc, k_ber, k_chan, k_dec = jax.random.split(key, 5)
-        EbNodB = draw_EbNodB(cfg, k_ebno, B)
+        if EbNodB is None:
+            EbNodB = draw_EbNodB(cfg, k_ebno, B)
+        else:
+            EbNodB = jnp.asarray(EbNodB, jnp.float32).reshape(B, 1, 1)
 
         z, _ = self.core_encoder(params["encoder"], features,
                                  key=self._noise_key(k_enc))

@@ -72,53 +72,36 @@ def run_sweep(model, params, feats_seq, channels, EbNodB_list, reps=2,
     feats, H, G, ebno, rows = build_grid_batch(cfg, feats_seq, channels,
                                                EbNodB_list, reps, rng)
 
-    # per-row EbNo: override the model's global draw by running with
-    # per-row keys and a per-row EbNodB injected through cfg.range disabled
-    def fwd(params, feats, H, Gp, ebno, key):
-        # replicate forward() but with explicit per-row EbNodB
-        out = model.forward(params, feats, H, Gp, key=key)
-        return out["features_hat"]
-
-    # model.forward draws EbNodB from cfg; to run a grid we evaluate one
-    # jitted forward per EbNo *value* group, with rows of that value batched.
-    losses = np.zeros(len(rows), np.float32)
+    # ONE compiled forward for the entire grid: EbNodB rides in as a
+    # per-row tensor (models/radae.py forward EbNodB arg), so the SNR axis
+    # never causes a recompile — the whole (channel x SNR x rep) grid is
+    # literally one sharded batch.
     Gp = cplx.pack_np(G)
     key = np.array([0, seed], np.uint32)
 
-    by_e = {}
-    for i, (ch, e, rep) in enumerate(rows):
-        by_e.setdefault(e, []).append(i)
+    def fwd(p, f, h, g, e, k):
+        out = model.forward(p, f, h, g, key=k, EbNodB=e)
+        fh = out["features_hat"]
+        # per-row loss computed on device so only (B,) comes back
+        return distortion_loss(f[..., :20], fh[..., :20])
 
-    for e, idxs in by_e.items():
-        sub_cfg = RADAEConfig(**{**_cfg_dict(cfg), "EbNodB": float(e)})
-        sub_model = RADAE(sub_cfg)
-        idxs = np.array(idxs)
-        fb, Hb, Gb = feats[idxs], H[idxs], Gp[idxs]
-        if mesh is not None:
-            # pad rows to a multiple of the mesh size
-            n_dev = mesh.devices.size
-            pad = (-len(idxs)) % n_dev
-            if pad:
-                fb = np.concatenate([fb, fb[:pad]])
-                Hb = np.concatenate([Hb, Hb[:pad]])
-                Gb = np.concatenate([Gb, Gb[:pad]])
-            with mesh:
-                batch = shard_batch(mesh, (fb, Hb, Gb))
-                out = jax.jit(
-                    lambda p, f, h, g, k: sub_model.forward(
-                        p, f, h, g, key=k)["features_hat"],
-                    in_shardings=(None,
-                                  NamedSharding(mesh, P("dp")),
-                                  NamedSharding(mesh, P("dp")),
-                                  NamedSharding(mesh, P("dp")), None),
-                )(params, *batch, jnp.asarray(key))
-            out = np.asarray(out)[: len(idxs)]
-        else:
-            out = np.asarray(sub_model.forward(
-                params, fb, Hb, Gb, key=jnp.asarray(key))["features_hat"])
-        lb = np.asarray(distortion_loss(feats[idxs][..., :20],
-                                        out[..., :20]))
-        losses[idxs] = lb
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        pad = (-len(rows)) % n_dev
+        fb = np.concatenate([feats, feats[:pad]]) if pad else feats
+        Hb = np.concatenate([H, H[:pad]]) if pad else H
+        Gb = np.concatenate([Gp, Gp[:pad]]) if pad else Gp
+        eb = np.concatenate([ebno, ebno[:pad]]) if pad else ebno
+        with mesh:
+            batch = shard_batch(mesh, (fb, Hb, Gb, eb))
+            sh = NamedSharding(mesh, P("dp"))
+            out = jax.jit(
+                fwd, in_shardings=(None, sh, sh, sh, sh, None),
+            )(params, *batch, jnp.asarray(key))
+        losses = np.asarray(out)[: len(rows)]
+    else:
+        losses = np.asarray(jax.jit(fwd)(
+            params, feats, H, Gp, ebno, jnp.asarray(key)))
 
     # aggregate per (channel, EbNo)
     table = {}
@@ -127,19 +110,13 @@ def run_sweep(model, params, feats_seq, channels, EbNodB_list, reps=2,
     return {k: float(np.mean(v)) for k, v in table.items()}
 
 
-def _cfg_dict(cfg):
-    import dataclasses
-    return {f.name: getattr(cfg, f.name)
-            for f in dataclasses.fields(cfg) if f.init}
-
-
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("model_name", type=str)
     p.add_argument("features", type=str)
     p.add_argument("--channels", type=str, default="awgn,mpp")
     p.add_argument("--EbNodB", type=str, default="0,3,6,10")
-    p.add_argument("--reps", type=int, default=2)
+    p.add_argument("--reps", type=int, default=4)
     p.add_argument("--seconds", type=float, default=4.0)
     p.add_argument("--latent-dim", type=int, default=80)
     p.add_argument("--auxdata", action="store_true")

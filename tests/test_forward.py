@@ -165,3 +165,68 @@ def test_latent40_forward():
     out = model.forward(params, feats, H, key=jax.random.PRNGKey(1))
     assert out["features_hat"].shape == (B, T, 20)
     assert out["z_hat"].shape == (B, T // 4, 40)
+
+
+def test_per_row_EbNodB_tensor():
+    """forward(EbNodB=tensor) matches forward with the config constant
+    exactly (same key), enabling the one-compile SNR grid in
+    tools/evaluate.py (vs the reference's per-SNR inference.sh loop)."""
+    B, T = 2, 120
+    feats = make_features(B, T, 20)
+    key = jax.random.PRNGKey(3)
+
+    cfg = flagship_config(feature_dim=20)
+    model, params = make_model(cfg)
+    H = model.default_H(B, cfg.num_timesteps_at_rate_Rs(T))
+    n_fs = cfg.num_timesteps_at_rate_Fs(cfg.num_timesteps_at_rate_Rs(T))
+    G = model.default_G(B, n_fs)
+
+    out_t = model.forward(params, feats, H, G, key=key,
+                          EbNodB=np.array([3.0, 3.0], np.float32))
+
+    cfg3 = flagship_config(feature_dim=20, EbNodB=3.0)
+    model3 = RADAE(cfg3)
+    out_c = model3.forward(params, feats, H, G, key=key)
+
+    np.testing.assert_allclose(np.asarray(out_t["features_hat"]),
+                               np.asarray(out_c["features_hat"]),
+                               rtol=0, atol=1e-6)
+
+    # and per-row values really differ in noise level: row at 20 dB must
+    # beat row at -3 dB on distortion
+    out_m = model.forward(params, feats, H, G, key=key,
+                          EbNodB=np.array([-3.0, 20.0], np.float32))
+    sig = np.asarray(out_m["sigma"]).reshape(B)
+    assert sig[0] > 5 * sig[1]
+
+
+def test_ber_mpp_vs_rayleigh_theory():
+    """QPSK-substitution BER through the rate-Fs MPP channel at Eb/No = 0 dB
+    vs closed-form Rayleigh theory 0.5*(1-sqrt(EbNo/(EbNo+1))), 2 dB
+    implementation-loss budget (reference: test/inference_ber_mpp.sh:7-15)."""
+    from radae_tpu.channel.doppler import multipath_samples
+    from radae_tpu.ops import cplx
+
+    cfg = ber_cfg(EbNodB=0.0, freq_offset=1.0, correct_freq_offset=True)
+    model, params = make_model(cfg)
+    B, T = 4, 720                            # 4 x 7.2 s for fading statistics
+    feats = make_features(B, T, 20)
+    n_rs = cfg.num_timesteps_at_rate_Rs(T)
+    n_fs = cfg.num_timesteps_at_rate_Fs(n_rs)
+    H = model.default_H(B, n_rs)
+
+    rng = np.random.default_rng(42)
+    G = np.zeros((B, n_fs, 2), np.complex64)
+    for b in range(B):
+        _, Gs, hf_gain = multipath_samples(
+            "mpp", cfg.Fs, cfg.Rs_dash, cfg.Nc, n_fs / cfg.Fs + 1, rng=rng)
+        G[b] = hf_gain * Gs[:n_fs]
+
+    out = model.forward(params, feats, H, cplx.pack_np(G),
+                        key=jax.random.PRNGKey(9))
+    ber = float(out["n_errors"]) / out["n_bits"]
+    EbNo_budget = 10 ** (-2.0 / 10)          # theory at EbNo - 2 dB
+    target = 0.5 * (1 - math.sqrt(EbNo_budget / (EbNo_budget + 1)))
+    theory = 0.5 * (1 - math.sqrt(1.0 / 2.0))
+    assert ber < target, (ber, theory, target)
+    assert ber > 0.5 * theory, (ber, theory)

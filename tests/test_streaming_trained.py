@@ -214,3 +214,109 @@ def test_c_api_with_trained_weights(flagship, tmp_path):
     n = min(len(py_out), len(c_out))
     delta = _loss(py_out[:n], c_out[:n])
     assert delta < 0.01, delta
+
+
+def _build_native():
+    import subprocess
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(["make", "-C", os.path.join(REPO, "native")],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    return os.path.join(REPO, "native", "build")
+
+
+def test_c_foff_false_sync(flagship, tmp_path):
+    """C receiver false-sync path: RADE_FOFF_TEST injects +10 Hz at sync;
+    the auxdata unique word must detect it, unsync, and the receiver then
+    re-acquires (reference: ctest radae_rx_foff, CMakeLists.txt:462-471;
+    src/rade_api.c:263-264)."""
+    import subprocess
+    from radae_tpu.export import write_blob
+    params, feats, meta = flagship
+    build = _build_native()
+    blob = str(tmp_path / "w.bin")
+    write_blob(blob, params)
+
+    stream = _tx_stream(params, feats, nframes=40)
+    rxf = str(tmp_path / "rx.f32")
+    stream.astype(np.complex64).tofile(rxf)
+    rc = subprocess.run([os.path.join(build, "radae_rx"), blob, "1"],
+                        stdin=open(rxf, "rb"), capture_output=True,
+                        cwd=str(tmp_path))
+    err = rc.stderr.decode()
+    assert "unsync" in err.splitlines(), err          # false sync dropped
+    assert err.count("sync") >= 2, err                # ...and re-acquired
+    out = np.frombuffer(rc.stdout, np.float32).reshape(-1, 36)
+    assert out.shape[0] >= 20 * 12, (out.shape, err)  # decodes remainder
+
+
+def test_c_tx_python_tx_sample_parity(flagship, tmp_path):
+    """Native C transmitter vs the Python streaming transmitter on the same
+    features: sample-level IQ parity including the EOO frame (reference:
+    ctest radae_tx_basic comparison, CMakeLists.txt:462-513)."""
+    import subprocess
+    from radae_tpu.export import write_blob
+    params, feats, meta = flagship
+    build = _build_native()
+    blob = str(tmp_path / "w.bin")
+    write_blob(blob, params)
+
+    nframes = 8
+    py_stream = _tx_stream(params, feats, nframes=nframes)
+
+    fin = str(tmp_path / "f.f32")
+    feats[: nframes * 12].astype(np.float32).flatten().tofile(fin)
+    tx = subprocess.run([os.path.join(build, "radae_tx"), blob],
+                        stdin=open(fin, "rb"), capture_output=True,
+                        cwd=str(tmp_path))
+    assert tx.returncode == 0, tx.stderr.decode()
+    c_stream = np.frombuffer(tx.stdout, np.complex64)
+
+    n = min(len(c_stream), len(py_stream))
+    assert n > nframes * 960
+    py = py_stream[:n].astype(np.complex64)
+    # The C encoder is float32 math in a different evaluation order than
+    # XLA, so individual samples differ at the 1e-3 level; gate on error
+    # ENERGY, which catches any structural error (ordering, scaling,
+    # pilots, CP, EOO bits) while tolerating float-path noise.
+    err = np.abs(c_stream[:n] - py) ** 2
+    sig = np.abs(py) ** 2
+    err_db = 10 * np.log10(err.sum() / sig.sum())
+    assert err_db < -35.0, err_db
+    # and per modem frame: no localized divergence hiding in the average
+    nmf_samp = 960
+    for k in range(n // nmf_samp):
+        s = slice(k * nmf_samp, (k + 1) * nmf_samp)
+        if sig[s].sum() < 1e-6:
+            continue                       # trailing silence
+        fdb = 10 * np.log10(err[s].sum() / sig[s].sum())
+        assert fdb < -30.0, (k, fdb)
+
+
+def test_c_multictx_parity(flagship, tmp_path):
+    """Two interleaved C receiver contexts in one process: the context
+    decoding the real stream must produce byte-identical output to a solo
+    receiver (no shared mutable state in the native runtime)."""
+    import subprocess
+    from radae_tpu.export import write_blob
+    params, feats, meta = flagship
+    build = _build_native()
+    blob = str(tmp_path / "w.bin")
+    write_blob(blob, params)
+
+    stream = _tx_stream(params, feats, nframes=12)
+    rxf = str(tmp_path / "rx.f32")
+    stream.astype(np.complex64).tofile(rxf)
+
+    solo = subprocess.run([os.path.join(build, "radae_rx"), blob],
+                          stdin=open(rxf, "rb"), capture_output=True,
+                          cwd=str(tmp_path))
+    outf = str(tmp_path / "multi.f32")
+    multi = subprocess.run([os.path.join(build, "test_multictx"), blob,
+                            rxf, outf], capture_output=True,
+                           cwd=str(tmp_path))
+    assert multi.returncode == 0, multi.stderr.decode()
+    a = np.frombuffer(solo.stdout, np.float32)
+    b = np.fromfile(outf, np.float32)
+    assert a.size > 0 and a.size == b.size, (a.size, b.size)
+    np.testing.assert_array_equal(a, b)
