@@ -156,7 +156,7 @@ static void update_snr(struct rade *r, float S1, float S2)
     float snr = S1 / (2.0f * S2) - 1.0f;
     if (snr <= 0) snr = 0.1f;
     float snrdB = 10.0f * log10f(snr);
-    snrdB = (snrdB - 2.513f) / 0.8070f;
+    snrdB = (snrdB - 2.548f) / 0.8745f;  /* refit: tools/est_snr.py */
     float Rs = (float)m->Fs / m->M;
     float snr3k = snrdB + 10.0f * log10f(Rs * m->Nc / 3000.0f)
                 + 10.0f * log10f((float)(m->M + m->Ncp) / m->M);

@@ -4,7 +4,7 @@ These process one 120 ms modem frame at a time with fixed shapes, so the
 whole per-frame pipeline jits into a single XLA computation (the hot path
 of real-time operation).  Mirrors the reference's transmitter_one /
 receiver_one (reference: radae/dsp.py:323-526) including the embedded SNR
-estimator with its straight-line calibration m=0.8070, c=2.513 and ~1 s IIR
+estimator with a straight-line calibration refit on this pipeline and ~1 s IIR
 smoothing (dsp.py:437-456).
 
 Device boundaries use packed (..., 2) float arrays (ops/cplx.py) — complex
@@ -63,9 +63,11 @@ class ReceiverOne:
         self._idx = pilots_ops.window3_index(cfg.Nc)
         self._pmat = pilots_ops.ls_pmat(cfg.w, cfg.Fs)
         self.snrdB_3k_est = 0.0
-        # straight-line SNR correction fit over AWGN/MPG/MPP (dsp.py:415-416)
-        self.m = 0.8070
-        self.c = 2.513
+        # straight-line SNR correction refit on THIS pipeline over 0-12 dB
+        # (tools/est_snr.py refit_pipeline, 3 seeds, max resid 0.52 dB;
+        # analog of the reference's empirical fit, dsp.py:415-416)
+        self.m = 0.8745
+        self.c = 2.548
         self._jit_rx = jax.jit(self._rx)
         self._jit_rx_eoo = jax.jit(self._rx_eoo)
 

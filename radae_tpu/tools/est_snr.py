@@ -74,3 +74,51 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def refit_pipeline(snr3k_range=None, nframes=20, seed=0, verbose=False):
+    """Refit the m/c straight line on THIS pipeline (TransmitterOne ->
+    calibrated AWGN -> ReceiverOne raw pilot statistics), rather than
+    reusing the reference's empirical fit (reference: dsp.py:415-416).
+
+    Returns (m, c, fitted_targets, raw_estimates)."""
+    import math
+    from ..dsp.streaming import TransmitterOne, ReceiverOne
+
+    if snr3k_range is None:
+        snr3k_range = np.arange(-6.0, 16.0, 2.0)
+    rng = np.random.default_rng(seed)
+    cfg = flagship_config()
+    tx1 = TransmitterOne(cfg)
+    z = 100 * np.sign(rng.standard_normal(
+        (1, cfg.Nzmf, cfg.latent_dim))).astype(np.float32)
+    stream = np.concatenate([tx1.transmit(np.roll(z, i))
+                             for i in range(nframes + 2)])
+    S = (np.abs(stream) ** 2).mean()
+    Rs = cfg.Fs / cfg.M
+    conv = (10 * math.log10(Rs * cfg.Nc / 3000)
+            + 10 * math.log10((cfg.M + cfg.Ncp) / cfg.M))
+
+    from ..ops import cplx
+    r = ReceiverOne(cfg)
+    targets, raws = [], []
+    for snr3k in snr3k_range:
+        sigma2 = S / 10 ** (snr3k / 10) * cfg.Fs / 3000
+        noisy = stream + np.sqrt(sigma2 / 2) * (
+            rng.standard_normal(len(stream))
+            + 1j * rng.standard_normal(len(stream)))
+        ests = []
+        for i in range(nframes):
+            seg = noisy[i * cfg.Nmf: i * cfg.Nmf + cfg.Nmf + cfg.M + cfg.Ncp]
+            _, stats = r._jit_rx(cplx.pack_np(seg.astype(np.complex64)))
+            S1, S2 = np.asarray(stats)
+            ests.append(max(S1 / (2 * S2) - 1, 0.1))
+        raw_dB = 10 * np.log10(np.mean(ests))
+        true_pilot_dB = snr3k - conv
+        targets.append(true_pilot_dB)
+        raws.append(raw_dB)
+        if verbose:
+            print(f"snr3k {snr3k:6.2f} pilot-true {true_pilot_dB:6.2f} "
+                  f"raw est {raw_dB:6.2f}")
+    m, c = np.polyfit(targets, raws, 1)
+    return float(m), float(c), np.array(targets), np.array(raws)

@@ -207,21 +207,26 @@ def test_batched_acquisition_op_matches_numpy(cfg, acq):
 
 
 def test_receiver_snr_estimator_calibration(cfg):
-    """snrdB_3k_est tracks true SNR within ~2.5 dB over the operating range
+    """snrdB_3k_est tracks true SNR within 1 dB over the operating range
     (the reference's m/c straight-line corrected estimator, dsp.py:437-456)."""
     rng = np.random.default_rng(0)
     tx1 = TransmitterOne(cfg)
     z = 100 * np.sign(rng.standard_normal(
         (1, cfg.Nzmf, cfg.latent_dim))).astype(np.float32)
-    stream = np.concatenate([tx1.transmit(np.roll(z, i)) for i in range(16)])
+    stream = np.concatenate([tx1.transmit(np.roll(z, i)) for i in range(48)])
     S = (np.abs(stream) ** 2).mean()
     for snrdB in (0.0, 6.0, 10.0):
-        r = ReceiverOne(cfg)
-        sigma2 = S / 10 ** (snrdB / 10) * 8000 / 3000
-        noisy = stream + np.sqrt(sigma2 / 2) * (
-            rng.standard_normal(len(stream))
-            + 1j * rng.standard_normal(len(stream)))
-        for i in range(14):
-            seg = noisy[i * cfg.Nmf: i * cfg.Nmf + cfg.Nmf + cfg.M + cfg.Ncp]
-            r.receive(seg.astype(np.complex64))
-        assert abs(r.snrdB_3k_est - snrdB) < 2.5, (snrdB, r.snrdB_3k_est)
+        finals = []
+        for rep in range(3):            # mean over noise realisations
+            r = ReceiverOne(cfg)
+            sigma2 = S / 10 ** (snrdB / 10) * 8000 / 3000
+            noisy = stream + np.sqrt(sigma2 / 2) * (
+                rng.standard_normal(len(stream))
+                + 1j * rng.standard_normal(len(stream)))
+            # 46 frames: the ~1 s IIR smoother converges (0.9^46 ~ 0.8%)
+            for i in range(46):
+                seg = noisy[i * cfg.Nmf:
+                            i * cfg.Nmf + cfg.Nmf + cfg.M + cfg.Ncp]
+                r.receive(seg.astype(np.complex64))
+            finals.append(r.snrdB_3k_est)
+        assert abs(np.mean(finals) - snrdB) < 1.0, (snrdB, finals)
