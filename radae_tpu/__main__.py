@@ -19,6 +19,7 @@ TOOLS = {
     "sc_rx": ("radae_tpu.tools.sc_modem", "sc_rx"),
     "est_snr": ("radae_tpu.tools.est_snr", "main"),
     "est_cno": ("radae_tpu.tools.chirp", "est_CNo_main"),
+    "ch": ("radae_tpu.tools.ch", "main"),
     "chirp": ("radae_tpu.tools.chirp", "chirp_main"),
     "eoo_ber": ("radae_tpu.tools.chirp", "eoo_ber_main"),
     "f32toint16": ("radae_tpu.tools.converters", "f32toint16"),

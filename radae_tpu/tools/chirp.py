@@ -37,37 +37,47 @@ def chirp_main(argv=None):
     gen_chirp(T=args.secs, amp=args.amp).tofile(args.out)
 
 
-def est_CNo(rx, Fs=8000, f_sig=(400, 2000), verbose=False):
-    """Estimate C/No of a chirp in noise: windowed FFTs, power in the
-    signal band vs an adjacent noise band, peak search over time windows
-    (reference: est_CNo.py).
+def est_CNo(rx, Fs=8000, f_sig=(400, 2000), chirp_secs=4.0, verbose=False):
+    """Estimate C/No of a chirp in noise (reference: est_CNo.py).
+
+    Two stages: (1) locate the chirp by sliding a chirp-length span over
+    per-window in-band energies and maximising the total (a long-average
+    localiser, so the pick has negligible selection bias, unlike a
+    max-over-short-windows search which reads ~1.5 dB high); (2) one C/No
+    estimate over that span — in-band power minus the noise-band baseline,
+    averaged through any fading.
 
     With a length-N DFT, mean power = sum|X|^2 / N^2 (Parseval) and the
     noise PSD is mean_noise|X|^2 / (N * Fs); the Hann window scaling
-    cancels in the C/No ratio."""
+    cancels in the C/No ratio.  Returns (CNo_dBHz, chirp_start_seconds)."""
     Nw = 1024
     nwin = len(rx) // Nw
-    best = -np.inf
-    best_t = 0.0
     f = np.fft.fftfreq(Nw, 1 / Fs)
     sig_band = (f >= f_sig[0]) & (f <= f_sig[1])
     noise_band = (f > f_sig[1] + 200) & (f < f_sig[1] + 800)
     n_sig = int(sig_band.sum())
     win = np.hanning(Nw)
+    S = np.empty(nwin)
+    mu = np.empty(nwin)
     for i in range(nwin):
         X = np.abs(np.fft.fft(rx[i * Nw:(i + 1) * Nw] * win)) ** 2
-        mu_n = X[noise_band].mean()
-        if mu_n <= 0:
-            continue
-        S = X[sig_band].sum() - n_sig * mu_n      # noise-corrected signal
-        if S <= 0:
-            continue
-        CNo = 10 * np.log10((Fs / Nw) * S / mu_n)
-        if CNo > best:
-            best, best_t = CNo, i * Nw / Fs
+        mu[i] = X[noise_band].mean()
+        S[i] = X[sig_band].sum() - n_sig * mu[i]  # noise-corrected signal
+    span = max(1, min(nwin, int(round(chirp_secs * Fs / Nw))))
+    # slide the span: cumulative sums -> O(nwin) search
+    cS = np.concatenate([[0.0], np.cumsum(S)])
+    cmu = np.concatenate([[0.0], np.cumsum(mu)])
+    spanS = cS[span:] - cS[:-span]
+    start = int(np.argmax(spanS))
+    S_tot = spanS[start]
+    mu_tot = cmu[start + span] - cmu[start]
+    if S_tot <= 0 or mu_tot <= 0:
+        return -np.inf, 0.0
+    CNo = 10 * np.log10((Fs / Nw) * S_tot / mu_tot)
+    best_t = start * Nw / Fs
     if verbose:
-        print(f"C/No: {best:5.2f} dBHz at t: {best_t:5.2f} s")
-    return best, best_t
+        print(f"C/No: {CNo:5.2f} dBHz at t: {best_t:5.2f} s")
+    return CNo, best_t
 
 
 def est_CNo_main(argv=None):

@@ -110,20 +110,47 @@ def test_train_resume(tmp_path):
                                        "checkpoint_epoch_2.npz"))
 
 
-def test_chirp_CNo(tmp_path):
+def test_chirp_CNo():
+    """AWGN closed form: estimator within 1 dB (reference gate ±1 dB,
+    test/chirp_mpp.sh:44-56) and chirp start within 0.5 s."""
     from radae_tpu.tools.chirp import gen_chirp, est_CNo
-    rng = np.random.default_rng(0)
     chirp = gen_chirp(T=2.0, amp=0.5)
-    sigma = 0.01
-    noisy = np.concatenate([
-        sigma * (rng.standard_normal(8000) + 1j * rng.standard_normal(8000)),
-        chirp + sigma * (rng.standard_normal(len(chirp))
-                         + 1j * rng.standard_normal(len(chirp)))])
-    CNo, t = est_CNo(noisy.astype(np.complex64))
-    # rough calibration: C = 0.25 (amp^2), No = 2*sigma^2/Fs
-    expect = 10 * np.log10(0.25 / (2 * sigma ** 2 / 8000))
-    assert abs(CNo - expect) < 3.0, (CNo, expect)
-    assert t >= 0.5     # chirp starts at 1 s
+    C = 0.25                                    # amp^2
+    for CNo_dB, seed in ((35.0, 0), (45.0, 1), (60.0, 2)):
+        rng = np.random.default_rng(seed)
+        sigma2 = C / 10 ** (CNo_dB / 10) * 8000  # No * Fs
+        noisy = np.concatenate([
+            np.zeros(8000, np.complex64), chirp, np.zeros(8000, np.complex64)])
+        noisy = noisy + np.sqrt(sigma2 / 2) * (
+            rng.standard_normal(len(noisy))
+            + 1j * rng.standard_normal(len(noisy)))
+        CNo, t = est_CNo(noisy.astype(np.complex64), chirp_secs=2.0)
+        assert abs(CNo - CNo_dB) < 1.0, (CNo_dB, CNo)
+        assert abs(t - 1.0) < 0.5, t            # chirp starts at 1 s
+
+
+def test_chirp_CNo_mpp_vs_independent_ch():
+    """Cross-validate the spectral C/No estimator against the independent
+    time-domain `ch` channel tool through MPP fading — the reference's
+    chirp_mpp.sh contract (±1 dB, start time ±0.5 s; ch's C reads low by
+    the silence duty cycle, corrected exactly as chirp_mpp.sh:52-55)."""
+    from radae_tpu.tools.chirp import gen_chirp, est_CNo
+    from radae_tpu.tools.ch import apply_ch
+    chirp_secs, silence_secs = 4.0, 2.0
+    chirp = gen_chirp(T=chirp_secs, amp=0.5)
+    pad = np.zeros(int(8000 * silence_secs), np.complex64)
+    tx = np.concatenate([pad, chirp, pad])
+    No_dB = 10 * np.log10(0.25) - 40.0          # ~40 dBHz before fading
+    errs = []
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        rx, CNo_ch = apply_ch(tx, No_dB, fading="mpp", rng=rng)
+        # ch averages C over the whole file incl. silence
+        CNo_ch += 10 * np.log10((2 * silence_secs + chirp_secs) / chirp_secs)
+        CNo_est, t = est_CNo(rx, chirp_secs=chirp_secs)
+        errs.append(CNo_est - CNo_ch)
+        assert abs(t - silence_secs) < 0.5, t
+    assert np.max(np.abs(errs)) < 1.0, errs
 
 
 def test_eoo_ber_tool(tmp_path, capsys):
