@@ -41,6 +41,7 @@ class RadaeRx:
         self.v = v
         self.disable_unsync = disable_unsync
         self.foff_err = foff_err
+        self._foff_injected = False
         self.bypass_dec = bypass_dec
 
         num_features = 21 if auxdata else 20
@@ -87,6 +88,7 @@ class RadaeRx:
         self.uw_errors = 0
         self.synced_count = 0
         self.rx_phase = np.complex64(1 + 0j)
+        self.fcp_phasor = 0.0 + 0.0j   # CP-discriminator fade-weighted IIR
         # ring buffer: P DDD P DDD P + Ncp slack for timing slips
         self.rx_buf = np.zeros(2 * Nmf + M + Ncp, np.complex64)
 
@@ -156,6 +158,22 @@ class RadaeRx:
             candidate, endofover = acq.check_pilots(self.rx_buf, self.tmax,
                                                     self.fmax)
 
+            # CP-discriminator guard against pilot-spacing (8.33 Hz)
+            # frequency aliases that refine/check_pilots cannot see: IIR
+            # over fade-weighted CP correlation phasors; fire only after
+            # a warmup so single bad frames cannot derail a good lock.
+            # Disabled under the foff_err false-sync test hook, which
+            # exists to simulate an uncorrectable false lock.
+            if not self._foff_injected:
+                corr = acq.est_cp_corr(self.rx_buf, self.tmax, self.fmax)
+                self.fcp_phasor = 0.9 * self.fcp_phasor + 0.1 * corr
+                if self.synced_count >= 8:
+                    dfcp = (np.angle(self.fcp_phasor) * Fs
+                            / (2 * np.pi * M))
+                    if abs(dfcp) > 4.5:
+                        self.fmax += dfcp
+                        self.fcp_phasor = 0.0 + 0.0j
+
             # timing slips: rx clock faster/slower than tx clock
             self.nin = Nmf
             if self.tmax >= Nmf - M:
@@ -213,7 +231,9 @@ class RadaeRx:
                     tfine = np.arange(max(0, self.tmax - 1), self.tmax + 2)
                     self.tmax, self.fmax = acq.refine(self.rx_buf, self.tmax,
                                                       self.fmax, tfine, ffine)
+                    self.fcp_phasor = 0.0 + 0.0j
                     self.fmax += self.foff_err       # false-sync test hook
+                    self._foff_injected = self.foff_err != 0.0
                     self.foff_err = 0.0
             else:
                 next_state = "search"

@@ -101,6 +101,44 @@ class Acquisition:
             return int(tfine[t_ind]), float(ffine[f_ind])
         return tmax, fmax
 
+    def est_cp_foff(self, rx: np.ndarray, tmax: int, fmax: float,
+                    d_skip: int | None = None) -> float:
+        """Residual frequency offset (Hz, relative to fmax) from
+        cyclic-prefix correlation — an anti-alias discriminator the
+        reference lacks.
+
+        refine()'s metric correlates pilots one modem frame (Tmf=120 ms)
+        apart, so it has a 1/Tmf = 8.33 Hz ambiguity: under fading the
+        sync-entry fine search can lock onto an alias that every
+        subsequent pilot check then confirms (the replica is shifted to
+        the same wrong frequency).  Each OFDM symbol's CP repeats exactly
+        M samples later, so angle(sum conj(cp)*tail) = 2*pi*f*M/Fs
+        measures the TRUE offset unambiguously within +-Fs/2M = +-25 Hz.
+        The first d_skip samples of each CP are skipped (multipath ISI;
+        defaults to Ncp/2, covering the 2 ms MPP path delay).  Uses every
+        whole symbol available in the buffer from tmax-Ncp on (~10 at the
+        usual tmax) for noise averaging."""
+        corr = self.est_cp_corr(rx, tmax, fmax, d_skip)
+        return float(np.angle(corr) * self.Fs / (2 * np.pi * self.M))
+
+    def est_cp_corr(self, rx: np.ndarray, tmax: int, fmax: float,
+                    d_skip: int | None = None) -> complex:
+        """Raw CP correlation phasor for est_cp_foff: angle encodes the
+        residual offset, magnitude the signal strength — so an IIR over
+        these phasors is naturally fade-weighted (deep-fade frames
+        contribute little, instead of injecting noisy angles)."""
+        M, Ncp, Fs = self.M, self.Ncp, self.Fs
+        if d_skip is None:
+            d_skip = Ncp // 2
+        corr = 0.0 + 0.0j
+        st = tmax - Ncp + d_skip
+        while st + M + Ncp - d_skip <= len(rx):
+            a = rx[st: st + Ncp - d_skip]
+            b = rx[st + M: st + M + Ncp - d_skip]
+            corr += np.vdot(a, b)                  # sum conj(a)*b
+            st += M + Ncp
+        return complex(corr * np.exp(-1j * 2 * np.pi * fmax * M / Fs))
+
     # -- in-sync spot check + EOO detect (reference: dsp.py:273-320) --------
     def check_pilots(self, rx: np.ndarray, tmax: int, fmax: float):
         M, Ncp, Nmf, Fs = self.M, self.Ncp, self.Nmf, self.Fs

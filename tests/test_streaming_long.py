@@ -1,0 +1,208 @@
+"""Long streaming-robustness runs with the trained flagship checkpoint.
+
+The reference's product gates stream ~50 s through AWGN/MPP/MPG/MPD at
+threshold SNR and through sox-resampled sample-clock offsets
+(reference: CMakeLists.txt:313-417).  This module reproduces those as
+50 s runs per channel plus 105 s runs at exactly 200 ppm — long enough
+that the clock drift exceeds M=160 samples and the receiver's nin
+timing-slip mechanism (Nmf +- M) engages for real, not via an
+exaggerated-ppm surrogate.
+
+Threshold-SNR runs use the reference's absolute SNRs (AWGN -3 dB,
+MPP/MPG 0 dB, MPD 3 dB — README.md:435-446) with the full product state
+machine: acquisition at threshold SNR has P(fail) < 0.2 per the
+reference spec (README.md:447), and a false lock (e.g. a pilot-spacing
+frequency alias under fading) is dropped by the auxdata-UW check and
+re-acquired (radae_rxe.py:276-293) — so the gates allow re-acquires and
+measure loss per contiguous decoded segment.  Loss gates are relative to
+the model's own clean-stream loss (the corpus-limited fixture cannot
+honestly meet the reference's absolute 0.3/0.35 numbers; RESULTS.md
+quantifies the gap)."""
+
+import os
+
+import numpy as np
+import pytest
+
+FIX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "fixtures")
+CKPT = os.path.join(FIX, "model_fs_flagship.npz")
+FEATS = os.path.join(FIX, "speech_feats.f32")
+
+NFRAMES_50S = 416          # 416 modem frames x 120 ms ~ 50 s
+ROWS = 12                  # 10 ms feature rows per modem frame (Nzmf*4)
+
+
+@pytest.fixture(scope="module")
+def flagship():
+    if not (os.path.exists(CKPT) and os.path.exists(FEATS)):
+        pytest.skip("flagship fixture not present")
+    from radae_tpu.convert import load_checkpoint
+    params, meta = load_checkpoint(CKPT)
+    feats = np.fromfile(FEATS, np.float32).reshape(-1, 36)
+    return params, feats, meta
+
+
+def _tx_long(params, feats, nframes):
+    from radae_tpu.apps.txe import RadaeTx
+    tx = RadaeTx(params=params, auxdata=True)
+    nrows = len(feats) // ROWS * ROWS
+    frames = [tx.do_radae_tx(feats[(i * ROWS) % nrows:
+                                   (i * ROWS) % nrows + ROWS].flatten())
+              for i in range(nframes)]
+    stream = np.concatenate(frames + [tx.do_eoo(),
+                                      np.zeros(3000, np.complex64)])
+    ref = np.concatenate([feats[(i * ROWS) % nrows:(i * ROWS) % nrows + ROWS]
+                          for i in range(nframes)])
+    return stream, ref
+
+
+@pytest.fixture(scope="module")
+def long_stream(flagship):
+    params, feats, meta = flagship
+    return _tx_long(params, feats, NFRAMES_50S)
+
+
+def _rx_long(params, stream, Nmf=960, **kw):
+    """Run the streaming receiver; returns (segments, events) where
+    segments = [(rx_frame_index, decoded_rows)] per valid frame."""
+    from radae_tpu.apps.rxe import RadaeRx
+    rx = RadaeRx(params=params, auxdata=True, v=0, **kw)
+    floats_out = np.zeros(rx.get_n_floats_out(), np.float32)
+    segs = []
+    ev = {"eoo": 0, "unsync": 0, "slips": 0, "nframes": 0, "n_valid": 0}
+    prev_state = "search"
+    ptr = 0
+    while ptr + rx.get_nin() <= len(stream):
+        nin = rx.get_nin()
+        if nin != Nmf:
+            ev["slips"] += 1
+        ret = rx.do_radae_rx(stream[ptr:ptr + nin], floats_out)
+        ptr += nin
+        if ret & 1:
+            ev["n_valid"] += 1
+            segs.append((ev["nframes"], floats_out.reshape(-1, 36).copy()))
+        if ret & 2:
+            ev["eoo"] += 1
+        if prev_state == "sync" and rx.state == "search":
+            ev["unsync"] += 1
+        prev_state = rx.state
+        ev["nframes"] += 1
+    return segs, ev
+
+
+def _loss_segments(ref, segs, max_delay=20):
+    """Mean feature loss over contiguous decoded segments, each aligned
+    independently (the decode lags tx by the acquisition delay, which can
+    change after a re-acquire or timing slip; a single global alignment
+    breaks on any mid-stream gap).  Weighted by segment length."""
+    from radae_tpu.models.core import distortion_loss
+    if not segs:
+        return np.inf
+    runs = []
+    cur = [segs[0]]
+    for item in segs[1:]:
+        if item[0] == cur[-1][0] + 1:
+            cur.append(item)
+        else:
+            runs.append(cur)
+            cur = [item]
+    runs.append(cur)
+    tot_rows, tot_loss = 0, 0.0
+    for run in runs:
+        rows = np.concatenate([r for _, r in run])
+        start_frame = run[0][0]
+        best = np.inf
+        best_n = 0
+        for d in range(0, max_delay + 1):
+            s = (start_frame - d) * ROWS
+            if s < 0:
+                continue
+            # the rx keeps emitting through the post-EOO hang time, so a
+            # final run can overhang the reference rows — compare the
+            # overlapping payload portion only
+            n = min(len(rows), len(ref) - s)
+            if n < ROWS:
+                continue
+            l = float(np.asarray(distortion_loss(
+                ref[None, s:s + n, :20], rows[None, :n, :20]))[0])
+            if l < best:
+                best, best_n = l, n
+        if np.isfinite(best):
+            tot_rows += best_n
+            tot_loss += best * best_n
+    return tot_loss / max(tot_rows, 1)
+
+
+def _fade(stream, channel, rng):
+    from radae_tpu.channel.doppler import CHANNEL_PRESETS, multipath_samples
+    _, path_delay_s = CHANNEL_PRESETS[channel]
+    _, G, hf_gain = multipath_samples(channel, 8000, 50, 1,
+                                      len(stream) / 8000 + 1, rng=rng)
+    G = hf_gain * G[: len(stream)]
+    d = int(round(path_delay_s * 8000))
+    faded = stream * G[:, 0]
+    faded[d:] += stream[:-d] * G[:-d, 1]
+    # keep power calibrated so the SNR we then set is the true SNR
+    faded *= np.sqrt((np.abs(stream) ** 2).mean()
+                     / (np.abs(faded) ** 2).mean())
+    return faded.astype(np.complex64)
+
+
+def _add_noise_at_snr(stream, snrdB, rng, Fs=8000, B=3000):
+    sig = stream[np.abs(stream) > 0]
+    S = (np.abs(sig) ** 2).mean()
+    sigma2 = S / 10 ** (snrdB / 10) * Fs / B
+    n = (np.sqrt(sigma2 / 2) * (rng.standard_normal(len(stream))
+                                + 1j * rng.standard_normal(len(stream))))
+    return (stream + n).astype(np.complex64)
+
+
+@pytest.mark.parametrize("channel,snrdB", [
+    (None, -3.0),          # AWGN at the reference threshold (README.md:435)
+    ("mpp", 0.0),          # README.md:437
+    ("mpg", 0.0),          # CMakeLists.txt:341-347
+    ("mpd", 3.0),          # worst case, CMakeLists.txt:352-359
+])
+def test_streaming_50s_threshold_snr(flagship, long_stream, channel, snrdB):
+    """50 s at the reference threshold SNR, 1 s of noise-only lead-in
+    (the reference tests prepend noise, CMakeLists.txt:313-360): acquire,
+    recover from any false lock, decode the large majority of the over
+    with bounded per-segment feature loss."""
+    params, feats, meta = flagship
+    stream, ref = long_stream
+    rng = np.random.default_rng(3)
+    ch_stream = _fade(stream, channel, rng) if channel else stream
+    ch_stream = np.concatenate([np.zeros(8000, np.complex64), ch_stream])
+    noisy = _add_noise_at_snr(ch_stream, snrdB, rng)
+    segs, ev = _rx_long(params, noisy)
+    frac = 0.90 if channel is None else 0.70
+    assert ev["n_valid"] >= frac * NFRAMES_50S, ev
+    train_loss = float(meta.get("loss", 0.35))
+    loss = _loss_segments(ref, segs)
+    assert loss < train_loss + 0.45, (loss, train_loss, channel, snrdB)
+
+
+@pytest.mark.parametrize("ppm,prepad", [(200, 0), (-200, 476)])
+def test_clock_offset_200ppm_real_slip(flagship, ppm, prepad):
+    """105 s at exactly +-200 ppm (the README tolerance, README.md:452):
+    the accumulated drift is 168 samples > M=160, so the nin slip engages
+    in-stream; sync must hold across the slip with no unsync.  The slip
+    boundaries sit asymmetrically around the acquired timing (slip-down
+    at tmax<M, slip-up at tmax>=Nmf-M, apps/rxe.py:159-166), so the
+    -200 ppm case pads the stream start to land the initial tmax near the
+    upper boundary — exactly what a real over at an arbitrary start
+    offset looks like."""
+    from radae_tpu.dsp.rrc import sample_clock_offset
+    params, feats, meta = flagship
+    nframes = 875                        # 105 s
+    stream, ref = _tx_long(params, feats, nframes)
+    stream = np.concatenate([np.zeros(prepad, np.complex64), stream])
+    resampled = sample_clock_offset(stream.astype(np.complex64), ppm)
+    segs, ev = _rx_long(params, resampled, disable_unsync=0.5)
+    assert ev["slips"] >= 1, ev          # a REAL 200 ppm slip happened
+    assert ev["unsync"] == 0, ev         # sync held across it
+    assert ev["n_valid"] >= nframes - 16, ev
+    train_loss = float(meta.get("loss", 0.35))
+    loss = _loss_segments(ref, segs)
+    assert loss < train_loss + 0.2, (loss, train_loss)
