@@ -61,6 +61,70 @@ def build_grid_batch(cfg, feats_seq, channels, EbNodB_list, reps, rng):
     return feats, H, G, ebno, rows
 
 
+def run_sweep_shard_map(model, params, feats_seq, channels, EbNodB_list,
+                        reps=2, mesh=None, seed=0):
+    """run_sweep with *explicit* per-device programs and collectives
+    (shard_map + lax.psum) instead of jit-propagated shardings.
+
+    Each device runs the forward on its own grid rows only, reduces its
+    rows into per-(channel,SNR)-cell sums via a one-hot matmul, then a
+    single psum over the "dp" axis combines the partial sums across the
+    mesh — the cell means come back replicated, already aggregated, so
+    the host never sees per-row losses.  This is the pattern that scales
+    the evaluation grid over pod slices: per-device compute + one ICI
+    collective, no host-side gather of O(grid) data."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    cfg = model.cfg
+    rng = np.random.default_rng(seed)
+    feats, H, G, ebno, rows = build_grid_batch(cfg, feats_seq, channels,
+                                               EbNodB_list, reps, rng)
+    assert mesh is not None
+    n_dev = mesh.devices.size
+
+    # cell id per row (channel, EbNo); padding rows get a dead cell so
+    # they never pollute a real mean
+    cells = {(ch, e): i for i, (ch, e) in enumerate(
+        (c, e) for c in channels for e in EbNodB_list)}
+    n_cells = len(cells)
+    cell_id = np.array([cells[(ch, e)] for ch, e, _ in rows], np.int32)
+    pad = (-len(rows)) % n_dev
+    if pad:
+        feats = np.concatenate([feats, feats[:pad]])
+        H = np.concatenate([H, H[:pad]])
+        G = np.concatenate([G, G[:pad]])
+        ebno = np.concatenate([ebno, ebno[:pad]])
+        cell_id = np.concatenate([cell_id, np.full(pad, n_cells, np.int32)])
+    onehot = np.eye(n_cells + 1, dtype=np.float32)[cell_id][:, :n_cells]
+    Gp = cplx.pack_np(G)
+    key = np.array([0, seed], np.uint32)
+
+    def per_device(p, f, h, g, e, oh, k):
+        # decorrelate the noise draws across devices: with a shared key,
+        # same-shaped local draws would repeat on every device
+        k = jax.random.fold_in(k, jax.lax.axis_index("dp"))
+        out = model.forward(p, f, h, g, key=k, EbNodB=e)
+        losses = distortion_loss(f[..., :20], out["features_hat"][..., :20])
+        sums = oh.T @ losses                     # (n_cells,) partial sums
+        counts = oh.sum(axis=0)
+        sums = jax.lax.psum(sums, "dp")          # ONE collective each
+        counts = jax.lax.psum(counts, "dp")
+        return sums / jnp.maximum(counts, 1.0)   # replicated cell means
+
+    dp, rep = P("dp"), P()
+    fn = shard_map(per_device, mesh=mesh,
+                   in_specs=(rep, dp, dp, dp, dp, dp, rep),
+                   out_specs=rep, check_vma=False)
+    with mesh:
+        sh = NamedSharding(mesh, P("dp"))
+        args = [jax.device_put(a, sh) for a in (feats, H, Gp, ebno, onehot)]
+        means = np.asarray(jax.jit(fn)(params, *args, jnp.asarray(key)))
+    return {k: float(means[i]) for k, i in cells.items()}
+
+
 def run_sweep(model, params, feats_seq, channels, EbNodB_list, reps=2,
               mesh=None, seed=0):
     import jax
@@ -122,6 +186,10 @@ def main(argv=None):
     p.add_argument("--auxdata", action="store_true")
     p.add_argument("--json", type=str, default="")
     p.add_argument("--n_devices", type=int, default=0)
+    p.add_argument("--shard_map", action="store_true",
+                   help="explicit per-device programs + psum reduction "
+                        "(requires a mesh) instead of jit-propagated "
+                        "shardings")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     import jax
@@ -155,8 +223,9 @@ def main(argv=None):
 
     import time
     t0 = time.time()
-    table = run_sweep(model, params, feats_seq, channels, ebnos,
-                      reps=args.reps, mesh=mesh, seed=args.seed)
+    sweep = run_sweep_shard_map if args.shard_map else run_sweep
+    table = sweep(model, params, feats_seq, channels, ebnos,
+                  reps=args.reps, mesh=mesh, seed=args.seed)
     dt = time.time() - t0
 
     print(f"{'channel':8s} " + " ".join(f"{e:7.1f}" for e in ebnos))

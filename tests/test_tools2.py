@@ -122,6 +122,50 @@ def test_evaluate_sweep(tmp_path, capsys):
     assert table["awgn@10.0"] <= table["awgn@3.0"] + 0.05
 
 
+def test_evaluate_sweep_shard_map_matches_jit(tmp_path):
+    """The explicit shard_map+psum sweep computes the same cell means as
+    the jit-propagated-sharding sweep (same grid, same channel draws)."""
+    import jax
+    from radae_tpu.config import RADAEConfig
+    from radae_tpu.models.radae import RADAE
+    from radae_tpu.parallel.mesh import make_mesh
+    from radae_tpu.tools.evaluate import run_sweep, run_sweep_shard_map
+
+    cfg = RADAEConfig(feature_dim=20, EbNodB=100, rate_Fs=True, pilots=True,
+                      pilot_eq=True, eq_mean6=False, cyclic_prefix=0.004,
+                      coarse_mag=True, time_offset=-16, bottleneck=3,
+                      quant_noise=False)
+    model = RADAE(cfg)
+    params = jax.device_put(model.init(0))
+    rng = np.random.default_rng(5)
+    T = cfg.num_10ms_times_steps_rounded_to_modem_frames(120)
+    feats_seq = (rng.standard_normal((T, 20)) * 0.3).astype(np.float32)
+    mesh = make_mesh(8)
+
+    # deterministic path (quant noise off, channel noise negligible at
+    # 100 dB): the per-device programs + psum must reproduce the
+    # jit-propagated global program exactly — same fading realisations,
+    # same EQ, same decoder
+    kw = dict(channels=["awgn", "mpp"], EbNodB_list=[100.0], reps=2,
+              mesh=mesh, seed=7)
+    a = run_sweep(model, params, feats_seq, **kw)
+    b = run_sweep_shard_map(model, params, feats_seq, **kw)
+    for k in a:
+        # residual 100 dB noise floor leaves only float-accumulation jitter
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-3, err_msg=str(k))
+
+    # noisy path: the noise-draw layout differs by design (global batch
+    # draw vs per-device decorrelated draws), so cell means agree only
+    # within the realisation spread (~±0.03 at these reps)
+    kw = dict(channels=["awgn", "mpp"], EbNodB_list=[3.0, 10.0], reps=2,
+              mesh=mesh, seed=7)
+    a = run_sweep(model, params, feats_seq, **kw)
+    b = run_sweep_shard_map(model, params, feats_seq, **kw)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], atol=0.06, err_msg=str(k))
+
+
 def test_mel_vocoder_roundtrip(tmp_path):
     """Built-in vocoder: analysis -> synthesis preserves gross spectral
     shape and pitch of a synthetic voiced signal."""
