@@ -28,6 +28,9 @@ TOOLS = {
     "export": ("radae_tpu.export", "main"),
     "wav": ("radae_tpu.tools.wav_pipeline", "main"),
     "ota": ("radae_tpu.tools.ota", "main"),
+    "ptt_loop": ("radae_tpu.tools.ptt_loop", "main"),
+    "webtx": ("radae_tpu.tools.webtx", "main"),
+    "report": ("radae_tpu.tools.report", "main"),
     "plots": ("radae_tpu.tools.plots", "main"),
     "profile": ("radae_tpu.tools.profile", "main"),
 }

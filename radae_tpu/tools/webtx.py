@@ -1,0 +1,129 @@
+"""Web transmit front-end (public_html analog).
+
+The reference ships a tiny web front-end — a form that accepts a wav
+upload and a CGI that turns it into a RADAE transmission for an OTA rig
+(reference: public_html/tx_form.html, public_html/tx_process.cgi).  This
+is the same service on the stdlib http.server: GET / serves the form,
+POST /tx runs vocoder analysis + the streaming transmitter on the
+uploaded wav and returns the modulated IQ (.f32 interleaved I/Q at 8 kHz)
+as a download, ready to feed a transceiver or the rx tools.
+
+    python -m radae_tpu report ...   # results dashboard (tools/report.py)
+    python -m radae_tpu webtx fixtures/model_fs_flagship.npz --port 8080
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import sys
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+FORM = b"""<!doctype html>
+<html><head><title>RADAE web tx</title></head><body>
+<h2>RADAE transmit</h2>
+<p>Upload a mono 16-bit wav; the response is the modulated RADAE signal
+(.f32 interleaved I/Q, 8 kHz) ending in an EOO frame.</p>
+<form method="post" action="/tx" enctype="multipart/form-data">
+  <input type="file" name="wav" accept=".wav">
+  <input type="submit" value="Modulate">
+</form></body></html>
+"""
+
+
+def make_handler(params, auxdata=True):
+    from ..apps.txe import RadaeTx
+    from ..vocoder import get_vocoder, SPEECH_FS
+
+    voc = get_vocoder()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            print("webtx: " + fmt % args, file=sys.stderr)
+
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(FORM)
+
+        def do_POST(self):
+            if self.path != "/tx":
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            # accept either raw wav bytes or a single multipart file field
+            if body[:4] != b"RIFF":
+                i = body.find(b"RIFF")
+                if i < 0:
+                    self.send_error(400, "no wav payload found")
+                    return
+                end = body.rfind(b"\r\n--")
+                body = body[i:end if end > i else len(body)]
+            try:
+                with wave.open(io.BytesIO(body), "rb") as w:
+                    assert w.getsampwidth() == 2
+                    pcm = np.frombuffer(w.readframes(w.getnframes()),
+                                        np.int16)
+                    if w.getnchannels() > 1:
+                        pcm = pcm[::w.getnchannels()]
+                    fs = w.getframerate()
+                if fs != SPEECH_FS:
+                    t = np.arange(int(len(pcm) * SPEECH_FS / fs)) \
+                        * (fs / SPEECH_FS)
+                    pcm = np.interp(t, np.arange(len(pcm)),
+                                    pcm).astype(np.int16)
+            except Exception as e:  # noqa: BLE001 - report to the client
+                self.send_error(400, f"bad wav: {e}")
+                return
+
+            feats = voc.extract(pcm)
+            tx = RadaeTx(params=params, auxdata=auxdata)
+            rows = 12
+            nmf = len(feats) // rows
+            if nmf == 0:
+                self.send_error(400, "wav shorter than one modem frame")
+                return
+            frames = [tx.do_radae_tx(feats[i * rows:(i + 1) * rows]
+                                     .flatten()) for i in range(nmf)]
+            iq = np.concatenate(frames + [tx.do_eoo()]).astype(np.complex64)
+
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Disposition",
+                             'attachment; filename="radae_tx.f32"')
+            self.end_headers()
+            self.wfile.write(iq.tobytes())
+
+    return Handler
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("model_name")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--noauxdata", dest="auxdata", action="store_false")
+    p.add_argument("--one-request", action="store_true",
+                   help="serve a single request then exit (for tests)")
+    args = p.parse_args(argv)
+
+    from ..convert import load_checkpoint
+    params, _ = load_checkpoint(args.model_name)
+    srv = ThreadingHTTPServer(("127.0.0.1", args.port),
+                              make_handler(params, args.auxdata))
+    print(f"webtx: listening on http://127.0.0.1:{srv.server_port}/",
+          file=sys.stderr)
+    if args.one_request:
+        srv.handle_request()
+        srv.handle_request()
+    else:
+        srv.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
