@@ -83,6 +83,76 @@ def make_streaming_rx_step(cfg: RADAEConfig, decoder: CoreDecoder,
     return jax.jit(step)
 
 
+def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
+                          batch: int, n_frames: int,
+                          frange: float = 100.0, fstep: float = 2.5):
+    """Whole-over batched receiver: ONE jitted program that acquires,
+    aligns, derotates and decodes B independent raw IQ streams.
+
+    rx(dec_params, rx_packed (B, T, 2)) ->
+        (features (B, n_frames, 12, feature_dim),
+         candidate (B,) bool, tmax (B,) int32, fmax (B,) float32)
+
+    This is the at-scale serving path (SURVEY §7 stage 6): the per-stream
+    work the product receiver does sequentially on the host
+    (dsp/acquisition.py grid search -> freq correction -> frame slicing ->
+    demod+EQ+decode, apps/rxe.py:128-266) expressed as fixed-shape
+    batched device code — the acquisition grid is the MXU matmul op
+    (ops/acquisition_op.py), alignment is a per-row gather, and the
+    n_frames decode loop is a lax.scan over the streaming rx step.
+    Streams whose `candidate` flag is False still produce (garbage)
+    features; mask on the flag host-side.
+
+    T must be >= 2*Nmf + M + Ncp (acquisition window) and
+    >= tmax_max + (n_frames+1)*Nmf + Ncp; pad with zeros if short.
+    """
+    from .ops.acquisition_op import make_detect_pilots
+
+    M, Ncp, Nmf, Fs, Ns = cfg.M, cfg.Ncp, cfg.Nmf, cfg.Fs, cfg.Ns
+    detect = make_detect_pilots(cfg, batch, frange=frange, fstep=fstep)
+    step = make_streaming_rx_step(cfg, decoder, batch)
+    frame_len = (Ns + 2) * (M + Ncp)          # rx-step window incl. next pilot
+
+    def rx(dec_params, rx_packed):
+        B, T = rx_packed.shape[0], rx_packed.shape[1]
+        candidate, tmax, fmax, _, _ = detect(
+            rx_packed[:, : 2 * Nmf + M + Ncp])
+
+        rxc = cplx.from_last(rx_packed)
+        # per-row freq derotation: exp(-j 2 pi fmax t / Fs)
+        t = jnp.arange(T, dtype=jnp.float32)[None, :]
+        ph = -2.0 * jnp.pi * fmax[:, None] * t / Fs
+        rxc = rxc * cplx.C(jnp.cos(ph), jnp.sin(ph))
+
+        # per-row time alignment via gather; tmax points at the first
+        # pilot, the rx step wants the window to start Ncp early
+        # (time_offset handling lives inside strip_cp)
+        start = jnp.maximum(tmax - Ncp, 0)
+        n_keep = T - Nmf                       # worst-case usable tail
+        idx = start[:, None] + jnp.arange(n_keep, dtype=jnp.int32)[None, :]
+        idx = jnp.minimum(idx, T - 1)
+        aligned = cplx.C(jnp.take_along_axis(rxc.re, idx, axis=1),
+                         jnp.take_along_axis(rxc.im, idx, axis=1))
+
+        # frame windows (B, n_frames, frame_len) by gather, then scan
+        f_idx = (jnp.arange(n_frames, dtype=jnp.int32)[:, None] * Nmf
+                 + jnp.arange(frame_len, dtype=jnp.int32)[None, :])
+        f_idx = jnp.minimum(f_idx, n_keep - 1)
+
+        def body(dec_state, fi):
+            win = cplx.C(jnp.take(aligned.re, fi, axis=1),
+                         jnp.take(aligned.im, fi, axis=1))
+            feats, dec_state = step(dec_params, cplx.stack_last(win),
+                                    dec_state)
+            return dec_state, feats
+
+        state0 = decoder.zero_state(B)
+        _, feats = jax.lax.scan(body, state0, f_idx)
+        return jnp.swapaxes(feats, 0, 1), candidate, tmax, fmax
+
+    return jax.jit(rx)
+
+
 def make_streaming_tx_step(cfg: RADAEConfig, encoder: CoreEncoder,
                            batch: int, fused: bool = False,
                            fused_tile: int = 512):

@@ -1,0 +1,86 @@
+"""Whole-over batched receiver: acquisition-op + align + scan decode as
+one XLA program (runtime.make_batched_receiver), checked against the
+product streaming receiver on real transmissions."""
+
+import os
+
+import numpy as np
+import pytest
+
+FIX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "fixtures")
+CKPT = os.path.join(FIX, "model_fs_flagship.npz")
+FEATS = os.path.join(FIX, "speech_feats.f32")
+
+
+@pytest.fixture(scope="module")
+def flagship():
+    if not (os.path.exists(CKPT) and os.path.exists(FEATS)):
+        pytest.skip("flagship fixture not present")
+    from radae_tpu.convert import load_checkpoint
+    params, _ = load_checkpoint(CKPT)
+    feats = np.fromfile(FEATS, np.float32).reshape(-1, 36)
+    return params, feats
+
+
+def test_batched_receiver_acquires_and_decodes(flagship):
+    """B streams, each with a different start pad and frequency offset:
+    the one-program receiver must find each stream's (tmax, fmax) via the
+    MXU acquisition grid, derotate/align per row, and decode features
+    matching the host streaming receiver's quality."""
+    import jax.numpy as jnp
+    from radae_tpu.apps.txe import RadaeTx
+    from radae_tpu.config import flagship_config
+    from radae_tpu.models.core import CoreDecoder, distortion_loss
+    from radae_tpu.runtime import make_batched_receiver
+    from radae_tpu.utils.hostio import device_put_tree
+
+    params, feats = flagship
+    n_frames = 8
+    rows = 12
+    tx = RadaeTx(params=params, auxdata=True)
+    frames = [tx.do_radae_tx(feats[i * rows:(i + 1) * rows].flatten())
+              for i in range(n_frames + 1)]     # +1 so the last rx window
+    over = np.concatenate(frames)               # has its closing pilot
+    ref = feats[: n_frames * rows, :20]
+
+    cfg = tx.cfg
+    B = 4
+    pads = [0, 257, 600, 911]
+    foffs = [0.0, -31.0, 12.5, 40.0]
+    T = max(pads) + len(over) + cfg.Nmf
+    rng = np.random.default_rng(0)
+    streams = np.zeros((B, T), np.complex64)
+    for b in range(B):
+        n = np.arange(len(over))
+        shifted = over * np.exp(1j * 2 * np.pi * foffs[b] * n / cfg.Fs)
+        streams[b, pads[b]: pads[b] + len(over)] = shifted
+    # mild noise (10 dB SNR-3k) so acquisition is non-trivial
+    S = (np.abs(over) ** 2).mean()
+    sigma2 = S / 10 ** (10 / 10) * cfg.Fs / 3000
+    streams += np.sqrt(sigma2 / 2) * (
+        rng.standard_normal(streams.shape)
+        + 1j * rng.standard_normal(streams.shape))
+
+    decoder = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
+    dec_params = device_put_tree(params["decoder"])
+    rx = make_batched_receiver(cfg, decoder, B, n_frames)
+    packed = np.stack([streams.real, streams.imag], -1).astype(np.float32)
+    feats_hat, cand, tmax, fmax = rx(dec_params, jnp.asarray(packed))
+    feats_hat = np.asarray(feats_hat)
+
+    assert np.asarray(cand).all(), (tmax, fmax)
+    for b in range(B):
+        # tmax points at the pilot proper, Ncp samples after frame start
+        assert abs(int(tmax[b]) - (pads[b] + cfg.Ncp)) <= 2, \
+            (b, int(tmax[b]), pads[b])
+        assert abs(float(fmax[b]) - foffs[b]) <= 2.0, (b, float(fmax[b]))
+
+    # decoded quality: every stream within 0.25 of the clean decode loss
+    losses = [float(np.asarray(distortion_loss(
+        ref[None], feats_hat[b].reshape(-1, cfg.feature_dim)[None, :, :20]
+    ))[0]) for b in range(B)]
+    clean = losses[0]
+    assert clean < 0.6, losses
+    for b in range(1, B):
+        assert losses[b] < clean + 0.25, losses
