@@ -75,7 +75,10 @@ def main(argv=None):
                            rng=np.random.default_rng(args.seed))
 
         # (a) chirp C/No calibration
-        CNo_meas, t_chirp = est_CNo(rx[: int(3.0 * 8000)])
+        # analysis span must match the tx chirp length: est_CNo averages
+        # over one span, so a longer span dilutes C with non-chirp windows
+        CNo_meas, t_chirp = est_CNo(rx[: int((chirp_secs + 0.5) * 8000)],
+                                    chirp_secs=chirp_secs)
         err = abs(CNo_meas - args.CNodB)
         print(f"chirp C/No: measured {CNo_meas:5.1f} dBHz "
               f"target {args.CNodB:5.1f} (err {err:4.1f} dB) "
