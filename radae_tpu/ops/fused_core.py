@@ -178,6 +178,196 @@ def make_fused_decoder_step(latent_dim: int, feature_dim: int,
     return step
 
 
+def rx_demod_consts(cfg):
+    """Host-precomputed demod matrices folding the whole OFDM receive
+    front-end into two matmuls (for make_fused_rx_frame_step):
+
+    * Wbig (M+Ncp, Nc) complex split: the forward DFT with the CP-strip
+      slice folded in as zero rows, so `rx_row @ Wbig` IS strip_cp+dft.
+    * E (Nc, Nc) complex split: the entire LS pilot estimator — known-
+      pilot ratio, 3-carrier window gather, per-carrier LS projection and
+      2-ray recombination (ops/pilots.py est_pilots_ls) — which is linear
+      in the received pilot row, collapsed to one matrix.
+    """
+    from . import pilots as pilots_ops
+
+    M, Ncp, Nc = cfg.M, cfg.Ncp, cfg.Nc
+    st = Ncp + cfg.time_offset
+    assert 0 <= st and st + M <= M + Ncp
+    Wbig = np.zeros((M + Ncp, Nc), np.complex64)
+    Wbig[st:st + M] = cfg.Wfwd
+
+    idx = pilots_ops.window3_index(Nc)
+    Pmat = pilots_ops.ls_pmat(cfg.w, cfg.Fs)
+    a = pilots_ops.LOCAL_PATH_DELAY_S * cfg.Fs
+    phase = np.exp(-1j * np.asarray(cfg.w) * a)
+    invP = 1.0 / np.asarray(cfg.P)
+    E = np.zeros((Nc, Nc), np.complex64)
+    for c in range(Nc):
+        for k in range(3):
+            j = idx[c, k]
+            E[j, c] += invP[j] * (Pmat[c, 0, k] + Pmat[c, 1, k] * phase[c])
+
+    f32 = lambda x: jnp.asarray(np.ascontiguousarray(x, np.float32))
+    return (f32(Wbig.real), f32(Wbig.imag), f32(E.real), f32(E.imag))
+
+
+def fused_rx_weights(params, cfg, dtype=jnp.float32):
+    """Demod consts + decoder weights with dense_1 rows permuted so the
+    kernel can feed [re(0..39), im(0..39)] instead of interleaved
+    re/im latents (the interleave is folded into the matmul)."""
+    arrs, names = _fused_weights(params, "decoder", dtype=dtype)
+    d1 = np.asarray(arrs[0])                    # (latent, out), pre-transposed
+    L = d1.shape[0]
+    perm = np.concatenate([np.arange(0, L, 2), np.arange(1, L, 2)])
+    arrs[0] = jnp.asarray(np.ascontiguousarray(d1[perm]))
+    return rx_demod_consts(cfg) + tuple(arrs)
+
+
+def make_fused_rx_frame_step(cfg, batch: int, tile: int = 512,
+                             interpret: bool = False,
+                             compute_dtype=jnp.float32):
+    """The ENTIRE streaming rx frame as ONE Pallas program: OFDM demod
+    (CP strip + DFT), LS pilot EQ, coarse magnitude, QPSK demap, and the
+    full 3-z-step recurrent decoder — weights and demod matrices VMEM-
+    resident (runtime.make_streaming_rx_step:53-81 folded into the
+    kernel; VERDICT round-1 perf backlog item).
+
+    step(weights, rx_packed (B, (Ns+2)(M+Ncp), 2), *state)
+      -> (features (B, 12, F), *state)
+    weights = fused_rx_weights(params, cfg).
+    """
+    assert batch % tile == 0
+    n_tiles = batch // tile
+    M, Ncp, Nc, Ns = cfg.M, cfg.Ncp, cfg.Nc, cfg.Ns
+    n_rs = Ns + 2
+    samp = M + Ncp
+    latent = cfg.latent_dim
+    feature_dim = cfg.feature_dim
+    nz = cfg.Nzmf
+    per_z = latent // 2                  # complex symbols per z-step
+    assert Ns * Nc == nz * per_z         # frame symbols = nz z-steps
+    out_dim = FRAMES_PER_STEP * feature_dim
+    mag_k = float(np.abs(cfg.P[0])) / cfg.pilot_gain if cfg.bottleneck == 3 \
+        else 1.0
+    coarse_mag = cfg.coarse_mag
+    ND = 4                        # demod consts
+    NW = 2 + 5 * 8 + 2
+    cd = compute_dtype
+
+    def kernel(rxr_ref, rxi_ref, *refs):
+        dem = refs[:ND]
+        w = refs[ND:ND + NW]
+        state_in = refs[ND + NW:ND + NW + 10]
+        out_ref = refs[ND + NW + 10]
+        state_out = refs[ND + NW + 11:]
+        Wr, Wi, Er, Ei = (d[:] for d in dem)
+
+        def dot(a, b):
+            return jnp.dot(a.astype(cd), b.astype(cd),
+                           preferred_element_type=jnp.float32)
+
+        # demod: strip_cp + DFT as one matmul per symbol row
+        Yr, Yi = [], []
+        for s in range(n_rs):
+            xr, xi = rxr_ref[:, s, :], rxi_ref[:, s, :]
+            Yr.append(dot(xr, Wr) - dot(xi, Wi))
+            Yi.append(dot(xr, Wi) + dot(xi, Wr))
+
+        # LS pilot channel estimates from the frame's two pilot rows
+        hp0r = dot(Yr[0], Er) - dot(Yi[0], Ei)
+        hp0i = dot(Yr[0], Ei) + dot(Yi[0], Er)
+        hp1r = dot(Yr[n_rs - 1], Er) - dot(Yi[n_rs - 1], Ei)
+        hp1i = dot(Yr[n_rs - 1], Ei) + dot(Yi[n_rs - 1], Er)
+
+        if coarse_mag:
+            p2 = hp0r * hp0r + hp0i * hp0i + hp1r * hp1r + hp1i * hp1i
+            mag = (jnp.sqrt(0.5 * jnp.mean(p2, axis=-1, keepdims=True))
+                   + 1e-6) * mag_k
+            inv_mag = 1.0 / mag
+        else:
+            inv_mag = 1.0
+
+        # per-data-row linear pilot interpolation + phase EQ + demap scale
+        dr, di = [], []
+        for s in range(1, Ns + 1):
+            t = s / (Ns + 1)
+            hr = hp0r * (1.0 - t) + hp1r * t
+            hi = hp0i * (1.0 - t) + hp1i * t
+            den = jax.lax.rsqrt(hr * hr + hi * hi + 1e-12)
+            scale = den * inv_mag
+            dr.append((Yr[s] * hr + Yi[s] * hi) * scale)
+            di.append((Yi[s] * hr - Yr[s] * hi) * scale)
+
+        (d1_w, d1_b), rest = (w[0], w[1]), w[2:]
+        h = [state_in[i][:] for i in range(5)]
+        hist = [state_in[5 + i][:] for i in range(5)]
+
+        # flatten the data grid row-major (matches reshape(B,-1,latent/2))
+        Dr = jnp.concatenate(dr, axis=-1)        # (tile, Ns*Nc)
+        Di = jnp.concatenate(di, axis=-1)
+        for k in range(nz):
+            xz = jnp.concatenate([Dr[:, k * per_z:(k + 1) * per_z],
+                                  Di[:, k * per_z:(k + 1) * per_z]], axis=-1)
+            x = jnp.tanh(dot(xz, d1_w[:]) + d1_b[:])
+            wi_ = 0
+            for i in range(5):
+                wih, whh, bih, bhh, gluw, cw0, cw1, cb = rest[wi_:wi_ + 8]
+                wi_ += 8
+                h[i] = _gru_step(wih[:], bih[:], whh[:], bhh[:], x, h[i],
+                                 cd=cd)
+                y = h[i] * jax.nn.sigmoid(dot(h[i], gluw[:]))
+                x = jnp.concatenate([x, y], axis=-1)
+                yc = jnp.tanh(dot(hist[i], cw0[:]) + dot(x, cw1[:]) + cb[:])
+                hist[i] = x
+                x = jnp.concatenate([x, yc], axis=-1)
+            out_w, out_b = w[NW - 2], w[NW - 1]
+            out_ref[:, k, :] = dot(x, out_w[:]) + out_b[:]
+
+        for i in range(5):
+            state_out[i][:] = h[i]
+            state_out[5 + i][:] = hist[i]
+
+    def step(weights, rx_packed, *state):
+        B = rx_packed.shape[0]
+        rx = rx_packed.reshape(B, n_rs, samp, 2)
+        rxr = rx[..., 0]
+        rxi = rx[..., 1]
+        in_specs = [pl.BlockSpec((tile, n_rs, samp), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)] * 2
+        in_specs += [pl.BlockSpec(w.shape,
+                                  lambda b, nd=w.ndim: (0,) * nd,
+                                  memory_space=pltpu.VMEM)
+                     for w in weights]
+        for s in state:
+            in_specs.append(pl.BlockSpec(
+                (tile,) + s.shape[1:],
+                lambda b, nd=s.ndim: (b,) + (0,) * (nd - 1),
+                memory_space=pltpu.VMEM))
+        out_shapes = ([jax.ShapeDtypeStruct((batch, nz, out_dim), jnp.float32)]
+                      + [jax.ShapeDtypeStruct(s.shape, jnp.float32)
+                         for s in state])
+        out_specs = ([pl.BlockSpec((tile, nz, out_dim), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+                     + [pl.BlockSpec((tile,) + s.shape[1:],
+                                     lambda b, nd=s.ndim: (b,) + (0,) * (nd - 1),
+                                     memory_space=pltpu.VMEM)
+                        for s in state])
+        res = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(rxr, rxi, *weights, *state)
+        feats, new_state = res[0], res[1:]
+        feats = feats.reshape(batch, nz * FRAMES_PER_STEP, feature_dim)
+        return feats, new_state
+
+    return step
+
+
 def decoder_state_zero(batch):
     s = [jnp.zeros((batch, gh), jnp.float32) for _, gh in _DEC_GRU_DIMS]
     s += [jnp.zeros((batch, cin), jnp.float32) for cin, _, _ in _DEC_CONV_DIMS]

@@ -56,6 +56,34 @@ def test_fused_runtime_rx_step_matches_unfused():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_fused_rx_frame_step_matches_unfused():
+    """The whole-frame kernel (demod + LS EQ + coarse mag + demap +
+    decoder in ONE Pallas program) matches the op-by-op rx step, state
+    carry included."""
+    from radae_tpu.config import flagship_config
+    from radae_tpu.runtime import make_streaming_rx_step
+    from radae_tpu.ops.fused_core import (
+        make_fused_rx_frame_step, fused_rx_weights, decoder_state_zero)
+
+    cfg = flagship_config()
+    dec = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
+    params = dec.init(0)
+    B = 4
+    rng = np.random.default_rng(2)
+
+    step_x = make_streaming_rx_step(cfg, dec, B, fused=False)
+    step_f = make_fused_rx_frame_step(cfg, B, tile=4, interpret=True)
+    w = fused_rx_weights(params, cfg)
+    st_x, st_f = None, decoder_state_zero(B)
+    for _ in range(3):      # multi-frame: carried state must match too
+        rx = rng.standard_normal(
+            (B, cfg.Nmf + cfg.M + cfg.Ncp, 2)).astype(np.float32) * 0.5
+        f_x, st_x = step_x(params, rx, st_x)
+        f_f, st_f = step_f(w, rx, *st_f)
+        np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_x),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_fused_encoder_parity_and_state():
     from radae_tpu.models.core import CoreEncoder
     from radae_tpu.ops.fused_core import (
