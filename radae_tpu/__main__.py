@@ -30,6 +30,7 @@ TOOLS = {
     "ota": ("radae_tpu.tools.ota", "main"),
     "ptt_loop": ("radae_tpu.tools.ptt_loop", "main"),
     "webtx": ("radae_tpu.tools.webtx", "main"),
+    "vocoder_nn": ("radae_tpu.vocoder_nn", "main"),
     "report": ("radae_tpu.tools.report", "main"),
     "plots": ("radae_tpu.tools.plots", "main"),
     "profile": ("radae_tpu.tools.profile", "main"),

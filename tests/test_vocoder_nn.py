@@ -1,0 +1,92 @@
+"""Neural vocoder (parallel harmonic+noise synthesis, vocoder_nn.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+FIX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "fixtures")
+WEIGHTS = os.path.join(FIX, "vocoder_nn.npz")
+FEATS = os.path.join(FIX, "speech_feats.f32")
+
+
+def test_synth_shapes_and_training_step():
+    """Synthesis produces the right sample count and one jitted training
+    step reduces the multi-resolution spectral loss on an overfit toy."""
+    import jax
+    import jax.numpy as jnp
+    from radae_tpu import vocoder_nn as V
+
+    params = jax.tree_util.tree_map(jnp.asarray, V.init_params(0))
+    B, T = 2, 41
+    rng = np.random.default_rng(0)
+    feats = np.zeros((B, T, 20), np.float32)
+    feats[..., :18] = rng.standard_normal((B, T, 18)) * 0.3
+    feats[..., 18] = 0.1
+    feats[..., 19] = 0.3
+    S = (T - 1) * V.FRAME
+    nz = rng.standard_normal((B, S)).astype(np.float32)
+    y = V.synth(params, jnp.asarray(feats), jnp.asarray(nz))
+    assert y.shape == (B, S)
+    assert np.isfinite(np.asarray(y)).all()
+
+    t = np.arange(S) / V.SPEECH_FS
+    target = np.stack([0.1 * np.sin(2 * np.pi * 150 * t)] * B) \
+        .astype(np.float32)
+    opt, step = V.make_train_step(3e-3)
+    st = opt.init(params)
+    first = last = None
+    for _ in range(15):
+        params, st, loss = step(params, st, jnp.asarray(feats),
+                                jnp.asarray(target), jnp.asarray(nz))
+        first = float(loss) if first is None else first
+        last = float(loss)
+    assert last < 0.8 * first, (first, last)
+
+
+def test_params_roundtrip(tmp_path):
+    from radae_tpu import vocoder_nn as V
+    p = V.init_params(3)
+    path = str(tmp_path / "w.npz")
+    V.save_params(path, p)
+    q = V.load_params(path)
+    for k1 in p:
+        for k2 in p[k1]:
+            np.testing.assert_array_equal(np.asarray(p[k1][k2]),
+                                          np.asarray(q[k1][k2]))
+
+
+def test_trained_fixture_beats_classical_synthesis():
+    """The trained neural vocoder reconstructs held-out speech closer to
+    the original (multi-res spectral distance on mel bands) than the
+    classical MelVocoder synthesis path."""
+    if not (os.path.exists(WEIGHTS) and os.path.exists(FEATS)):
+        pytest.skip("vocoder fixture not present")
+    import jax.numpy as jnp
+    from radae_tpu import vocoder_nn as V
+    from radae_tpu.vocoder import MelVocoder, SPEECH_FS
+
+    feats36 = np.fromfile(FEATS, np.float32).reshape(-1, 36)[:500]
+    voc = MelVocoder()
+    nv = V.NeuralVocoder(WEIGHTS)
+
+    # reference pcm: classical synthesis from the SAME features is not the
+    # ground truth — instead compare feature-domain round trips: synthesize
+    # with each back-end, re-analyse, and measure cepstral distance to the
+    # input features (the quantity the radae pipeline actually preserves).
+    def cepdist(pcm):
+        f2 = voc.extract(np.asarray(pcm, np.int16))
+        n = min(len(f2), len(feats36)) - 2
+        # tolerate ±1 frame of alignment slack
+        best = np.inf
+        for d in (-1, 0, 1):
+            a = feats36[max(0, -d): n - max(0, d), :18]
+            b = f2[max(0, d): n - max(0, -d), :18]
+            m = min(len(a), len(b))
+            best = min(best, float(np.mean((a[:m] - b[:m]) ** 2)))
+        return best
+
+    d_classical = cepdist(voc.synthesize(feats36))
+    d_neural = cepdist(nv.synthesize(feats36))
+    assert d_neural < d_classical, (d_neural, d_classical)
