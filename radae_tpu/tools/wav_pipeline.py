@@ -48,10 +48,15 @@ def main(argv=None):
     p.add_argument("--passthru", action="store_true",
                    help="vocoder-only roundtrip, no radae")
     p.add_argument("--auxdata", action="store_true")
+    p.add_argument("--vocoder", choices=("auto", "mel", "neural"),
+                   default="auto",
+                   help="synthesis back-end: auto = FARGAN binary if "
+                        "present else the trained neural fixture else mel; "
+                        "neural = fixtures/vocoder_nn.npz")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    voc = get_vocoder()
+    voc = get_vocoder(backend=args.vocoder)
     pcm = read_wav(args.wav_in)
     feats = voc.extract(pcm)
     print(f"extracted {feats.shape[0]} feature frames "

@@ -175,10 +175,26 @@ class MelVocoder:
         return (out / peak * 16384).astype(np.int16)
 
 
-def get_vocoder(prefer_external: bool = True):
-    """FARGAN bridge if the binary exists, else the built-in MelVocoder."""
-    if prefer_external:
-        v = FARGANVocoder()
-        if v.available():
-            return v
+NEURAL_WEIGHTS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "fixtures", "vocoder_nn.npz")
+
+
+def get_vocoder(prefer_external: bool = True, backend: str = "auto"):
+    """Synthesis back-end selection.
+
+    auto: FARGAN binary if present, else the trained neural fixture
+    (vocoder_nn.npz) if present, else the classical MelVocoder.
+    """
+    if backend == "mel":
+        return MelVocoder()
+    if backend in ("auto", "neural"):
+        if backend == "auto" and prefer_external:
+            v = FARGANVocoder()
+            if v.available():
+                return v
+        if os.path.exists(NEURAL_WEIGHTS):
+            from .vocoder_nn import NeuralVocoder
+            return NeuralVocoder(NEURAL_WEIGHTS)
+        if backend == "neural":
+            raise FileNotFoundError(NEURAL_WEIGHTS)
     return MelVocoder()
