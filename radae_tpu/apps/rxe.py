@@ -89,6 +89,7 @@ class RadaeRx:
         self.synced_count = 0
         self.rx_phase = np.complex64(1 + 0j)
         self.fcp_phasor = 0.0 + 0.0j   # CP-discriminator fade-weighted IIR
+        self.fcp_mag = 0.0             # |corr| IIR for the coherence gate
         # ring buffer: P DDD P DDD P + Ncp slack for timing slips
         self.rx_buf = np.zeros(2 * Nmf + M + Ncp, np.complex64)
 
@@ -167,12 +168,19 @@ class RadaeRx:
             if not self._foff_injected:
                 corr = acq.est_cp_corr(self.rx_buf, self.tmax, self.fmax)
                 self.fcp_phasor = 0.9 * self.fcp_phasor + 0.1 * corr
-                if self.synced_count >= 8:
+                self.fcp_mag = 0.9 * self.fcp_mag + 0.1 * abs(corr)
+                # coherence gate: during noise-only stretches (deep fades,
+                # post-EOO hang time) per-frame angles are random, so the
+                # phasor IIR collapses relative to the magnitude IIR —
+                # without this gate fmax would random-walk through fades
+                coherent = abs(self.fcp_phasor) > 0.5 * self.fcp_mag
+                if self.synced_count >= 8 and coherent:
                     dfcp = (np.angle(self.fcp_phasor) * Fs
                             / (2 * np.pi * M))
                     if abs(dfcp) > 4.5:
                         self.fmax += dfcp
                         self.fcp_phasor = 0.0 + 0.0j
+                        self.fcp_mag = 0.0
 
             # timing slips: rx clock faster/slower than tx clock
             self.nin = Nmf
@@ -232,6 +240,7 @@ class RadaeRx:
                     self.tmax, self.fmax = acq.refine(self.rx_buf, self.tmax,
                                                       self.fmax, tfine, ffine)
                     self.fcp_phasor = 0.0 + 0.0j
+                    self.fcp_mag = 0.0
                     self.fmax += self.foff_err       # false-sync test hook
                     self._foff_injected = self.foff_err != 0.0
                     self.foff_err = 0.0

@@ -132,6 +132,8 @@ class Acquisition:
             d_skip = Ncp // 2
         corr = 0.0 + 0.0j
         st = tmax - Ncp + d_skip
+        while st < 0:                  # tmax < Ncp-d_skip: start one symbol in
+            st += M + Ncp
         while st + M + Ncp - d_skip <= len(rx):
             a = rx[st: st + Ncp - d_skip]
             b = rx[st + M: st + M + Ncp - d_skip]

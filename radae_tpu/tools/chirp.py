@@ -52,6 +52,8 @@ def est_CNo(rx, Fs=8000, f_sig=(400, 2000), chirp_secs=4.0, verbose=False):
     cancels in the C/No ratio.  Returns (CNo_dBHz, chirp_start_seconds)."""
     Nw = 1024
     nwin = len(rx) // Nw
+    if nwin == 0:
+        return -np.inf, 0.0
     f = np.fft.fftfreq(Nw, 1 / Fs)
     sig_band = (f >= f_sig[0]) & (f <= f_sig[1])
     noise_band = (f > f_sig[1] + 200) & (f < f_sig[1] + 800)

@@ -71,11 +71,12 @@ def run_session(params, feats_rows: np.ndarray, n_overs: int = 2,
 
     # channel
     if channel and channel != "awgn":
-        from ..channel.doppler import multipath_samples
+        from ..channel.doppler import CHANNEL_PRESETS, multipath_samples
+        _, path_delay_s = CHANNEL_PRESETS[channel]
         _, G, hf = multipath_samples(channel, 8000, 50, 1,
                                      len(session) / 8000 + 1, rng=rng)
         G = hf * G[: len(session)]
-        d = 16
+        d = int(round(path_delay_s * 8000))
         faded = session * G[:, 0]
         faded[d:] += session[:-d] * G[:-d, 1]
         sig = np.abs(session) > 0

@@ -36,8 +36,10 @@ def sweep_table(path: str) -> str:
     for k, v in table.items():
         ch, e = k.rsplit("@", 1)
         cells[(ch, float(e))] = v
-    channels = sorted({c for c, _ in cells}, key=lambda c: min(
-        e for cc, e in cells if cc == c))
+    # first-seen order from the JSON (insertion-ordered), deduplicated —
+    # a computed sort key would tie on a shared EbNo grid and fall back to
+    # nondeterministic set ordering
+    channels = list(dict.fromkeys(k.rsplit("@", 1)[0] for k in table))
     ebnos = sorted({e for _, e in cells})
     rows = [f"<h2>Evaluation sweep <span class=meta>({html.escape(path)})"
             f"</span></h2>", "<table><tr><th>channel</th>"]

@@ -35,10 +35,18 @@ FORM = b"""<!doctype html>
 
 
 def make_handler(params, auxdata=True):
+    import threading
+
     from ..apps.txe import RadaeTx
     from ..vocoder import get_vocoder, SPEECH_FS
 
     voc = get_vocoder()
+    # one transmitter for the process: its jit cache is per-instance, so a
+    # per-request RadaeTx would re-trace/compile the tx path every upload.
+    # The encoder/OFDM state is per-over, so serialize requests on a lock
+    # and reset state between overs.
+    tx = RadaeTx(params=params, auxdata=auxdata)
+    tx_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -82,15 +90,17 @@ def make_handler(params, auxdata=True):
                 return
 
             feats = voc.extract(pcm)
-            tx = RadaeTx(params=params, auxdata=auxdata)
             rows = 12
             nmf = len(feats) // rows
             if nmf == 0:
                 self.send_error(400, "wav shorter than one modem frame")
                 return
-            frames = [tx.do_radae_tx(feats[i * rows:(i + 1) * rows]
-                                     .flatten()) for i in range(nmf)]
-            iq = np.concatenate(frames + [tx.do_eoo()]).astype(np.complex64)
+            with tx_lock:
+                tx.enc_state = None              # fresh over
+                frames = [tx.do_radae_tx(feats[i * rows:(i + 1) * rows]
+                                         .flatten()) for i in range(nmf)]
+                iq = np.concatenate(frames + [tx.do_eoo()]) \
+                    .astype(np.complex64)
 
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")

@@ -250,11 +250,15 @@ def train(corpus_path: str, out_dir: str, epochs: int = 60, batch: int = 16,
 
     data = np.load(corpus_path)
     feats, pcm, bounds = data["feats"], data["pcm"], data["bounds"]
-    # valid window starts: t0 .. t0+t_frames within one utterance
+    # valid window starts within one utterance.  Each variant's stored pcm
+    # is one FRAME longer than its feature count ((n+1)*FRAME vs n, the
+    # 2-frame analysis window), so the pcm sample offset of global feature
+    # frame i in variant u is (i + u) * FRAME — NOT i * FRAME.
     starts = []
     for u in range(len(bounds) - 1):
         lo, hi = int(bounds[u]), int(bounds[u + 1])
-        starts += list(range(lo, hi - t_frames - 1, t_frames // 2))
+        starts += [(s, (s + u) * FRAME)
+                   for s in range(lo, hi - t_frames - 1, t_frames // 2)]
     starts = np.array(starts)
     S = (t_frames - 1) * FRAME
 
@@ -272,8 +276,8 @@ def train(corpus_path: str, out_dir: str, epochs: int = 60, batch: int = 16,
             idx = order[b * batch:(b + 1) * batch]
             if len(idx) < batch:
                 break
-            fb = np.stack([feats[i:i + t_frames] for i in idx])
-            pb = np.stack([pcm[i * FRAME:i * FRAME + S] for i in idx])
+            fb = np.stack([feats[i:i + t_frames] for i, _ in idx])
+            pb = np.stack([pcm[p:p + S] for _, p in idx])
             nz = rng.standard_normal((batch, S)).astype(np.float32)
             params, opt_state, loss = step(params, opt_state,
                                            jnp.asarray(fb), jnp.asarray(pb),

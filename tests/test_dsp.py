@@ -230,3 +230,18 @@ def test_receiver_snr_estimator_calibration(cfg):
                 r.receive(seg.astype(np.complex64))
             finals.append(r.snrdB_3k_est)
         assert abs(np.mean(finals) - snrdB) < 1.0, (snrdB, finals)
+
+
+def test_est_cp_corr_low_tmax_no_crash(cfg, acq):
+    """tmax < Ncp - d_skip must not produce a negative slice start (an
+    empty a-slice vs non-empty b-slice crashes np.vdot): the estimator
+    skips to the first whole symbol instead."""
+    rng = np.random.default_rng(0)
+    n = 2 * cfg.Nmf + cfg.M + cfg.Ncp
+    rx = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) \
+        .astype(np.complex64)
+    for tmax in (0, 1, cfg.Ncp // 2 - 1, cfg.Ncp, cfg.Nmf - 1):
+        c = acq.est_cp_corr(rx, tmax, 0.0)
+        assert np.isfinite(c.real) and np.isfinite(c.imag), tmax
+        f = acq.est_cp_foff(rx, tmax, 0.0)
+        assert np.isfinite(f), tmax
