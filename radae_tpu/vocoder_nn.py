@@ -65,7 +65,7 @@ def _noise_firs(nb=N_NOISE, taps=129, fs=SPEECH_FS):
 
 # -- model ------------------------------------------------------------------
 
-def init_params(seed: int = 0):
+def init_params(seed: int = 0, hid: int = HID):
     import jax
     rng = np.random.default_rng(seed)
 
@@ -82,8 +82,8 @@ def init_params(seed: int = 0):
                 "b_ih": np.zeros(3 * h, np.float32),
                 "b_hh": np.zeros(3 * h, np.float32)}
 
-    p = {"in": dense(20, HID), "gru": gru(HID, HID),
-         "harm": dense(HID, N_HARM + 1), "noise": dense(HID, N_NOISE)}
+    p = {"in": dense(20, hid), "gru": gru(hid, hid),
+         "harm": dense(hid, N_HARM + 1), "noise": dense(hid, N_NOISE)}
     return jax.tree_util.tree_map(lambda x: np.asarray(x), p)
 
 

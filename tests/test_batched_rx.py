@@ -84,3 +84,52 @@ def test_batched_receiver_acquires_and_decodes(flagship):
     assert clean < 0.6, losses
     for b in range(1, B):
         assert losses[b] < clean + 0.25, losses
+
+
+def test_batched_receiver_sharded_over_mesh(flagship):
+    """Serving at scale (SURVEY §2.7): the whole-over receiver program runs
+    with its stream axis sharded over the 8-device mesh and produces the
+    same decode as the single-device run — acquisition, per-row
+    derotation/alignment and the scan decode all shard along batch."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from radae_tpu.apps.txe import RadaeTx
+    from radae_tpu.models.core import CoreDecoder
+    from radae_tpu.parallel.mesh import make_mesh
+    from radae_tpu.runtime import make_batched_receiver
+    from radae_tpu.utils.hostio import device_put_tree
+
+    params, feats = flagship
+    n_frames, rows = 4, 12
+    tx = RadaeTx(params=params, auxdata=True)
+    frames = [tx.do_radae_tx(feats[i * rows:(i + 1) * rows].flatten())
+              for i in range(n_frames + 1)]
+    over = np.concatenate(frames)
+    cfg = tx.cfg
+    B = 8
+    rng = np.random.default_rng(1)
+    pads = rng.integers(0, cfg.Nmf, B)
+    foffs = rng.uniform(-40, 40, B)
+    T = int(pads.max()) + len(over) + cfg.Nmf
+    streams = np.zeros((B, T), np.complex64)
+    n = np.arange(len(over))
+    for b in range(B):
+        streams[b, pads[b]:pads[b] + len(over)] = \
+            over * np.exp(1j * 2 * np.pi * foffs[b] * n / cfg.Fs)
+    packed = np.stack([streams.real, streams.imag], -1).astype(np.float32)
+
+    decoder = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
+    dec_params = device_put_tree(params["decoder"])
+    rx = make_batched_receiver(cfg, decoder, B, n_frames)
+
+    f1, c1, t1, _ = rx(dec_params, jnp.asarray(packed))
+
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P("dp"))
+    with mesh:
+        f8, c8, t8, _ = rx(dec_params, jax.device_put(packed, sh))
+    assert np.asarray(c8).all()
+    np.testing.assert_array_equal(np.asarray(t8), np.asarray(t1))
+    np.testing.assert_allclose(np.asarray(f8), np.asarray(f1),
+                               rtol=1e-4, atol=1e-5)
