@@ -64,8 +64,32 @@ def tilt(pcm: np.ndarray, a: float) -> np.ndarray:
     return y * (rms_in / rms_out)
 
 
+def reverb(pcm: np.ndarray, rng: np.random.Generator,
+           rt_ms: float = 120.0, direct: float = 0.8) -> np.ndarray:
+    """Synthetic small-room reverb: exponentially-decaying noise RIR."""
+    n = int(rt_ms / 1000 * SPEECH_FS)
+    rir = (rng.standard_normal(n).astype(np.float32)
+           * np.exp(-3.0 * np.arange(n) / n))
+    rir[0] = 0.0
+    tail = np.convolve(pcm, rir, mode="full")[: len(pcm)]
+    tail *= (1.0 - direct) * np.sqrt((pcm ** 2).mean()
+                                     / ((tail ** 2).mean() + 1e-9))
+    return (direct * pcm + tail).astype(np.float32)
+
+
+def bandlimit(pcm: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Random comms-style band limit (telephone-ish channel colour)."""
+    from scipy.signal import butter, lfilter
+    lo = rng.uniform(80, 250)
+    hi = rng.uniform(3000, 6500)
+    b, a = butter(2, [lo / (SPEECH_FS / 2), hi / (SPEECH_FS / 2)], "bandpass")
+    y = lfilter(b, a, pcm).astype(np.float32)
+    return y * np.sqrt((pcm ** 2).mean() / ((y ** 2).mean() + 1e-9))
+
+
 def augment_pcm(pcm: np.ndarray, rng: np.random.Generator,
-                speeds=SPEED_FACTORS, tilts=TILTS, reverse: bool = True):
+                speeds=SPEED_FACTORS, tilts=TILTS, reverse: bool = True,
+                room: bool = False):
     """Yield augmented float32 pcm variants of one utterance."""
     for s in speeds:
         w = warp(pcm, s)
@@ -73,6 +97,10 @@ def augment_pcm(pcm: np.ndarray, rng: np.random.Generator,
             t = tilt(w, a)
             for rev in ((False, True) if reverse else (False,)):
                 v = t[::-1].copy() if rev else t
+                if room and rng.uniform() < 0.5:
+                    v = reverb(v, rng, rt_ms=rng.uniform(60, 200))
+                if room and rng.uniform() < 0.3:
+                    v = bandlimit(v, rng)
                 gain = 10 ** (rng.uniform(-6, 6) / 20)
                 v = v * gain
                 snr_db = rng.uniform(25, 40)
@@ -86,8 +114,8 @@ def augment_pcm(pcm: np.ndarray, rng: np.random.Generator,
 
 
 def build_corpus(wav_dir: str, out_path: str, hold_out=(), skip=("all.wav",),
-                 speeds=SPEED_FACTORS, tilts=TILTS, reverse=True, seed=0,
-                 verbose=True):
+                 speeds=SPEED_FACTORS, tilts=TILTS, reverse=True, room=False,
+                 seed=0, verbose=True):
     """Extract features for the augmented corpus; returns frame count."""
     rng = np.random.default_rng(seed)
     voc = MelVocoder()
@@ -100,7 +128,7 @@ def build_corpus(wav_dir: str, out_path: str, hold_out=(), skip=("all.wav",),
                 continue
             pcm = read_wav(os.path.join(wav_dir, name))
             nv = 0
-            for v in augment_pcm(pcm, rng, speeds, tilts, reverse):
+            for v in augment_pcm(pcm, rng, speeds, tilts, reverse, room):
                 feats = voc.extract(v.astype(np.int16))
                 feats.astype(np.float32).tofile(out)
                 total += feats.shape[0]
@@ -121,11 +149,13 @@ def main(argv=None):
     p.add_argument("--hold-out", nargs="*", default=[],
                    help="substrings of wav names to exclude (eval holdout)")
     p.add_argument("--no-reverse", dest="reverse", action="store_false")
+    p.add_argument("--room", action="store_true",
+                   help="also apply random synthetic reverb / band limits")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(reverse=True)
     args = p.parse_args(argv)
     build_corpus(args.wav_dir, args.out, hold_out=args.hold_out,
-                 reverse=args.reverse, seed=args.seed)
+                 reverse=args.reverse, room=args.room, seed=args.seed)
 
 
 if __name__ == "__main__":
