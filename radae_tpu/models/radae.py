@@ -209,6 +209,10 @@ class RADAE:
             n_errors = jnp.sum(-z * z_hat > 0)
             out["n_bits"] = z.size
             out["n_errors"] = n_errors
+            # per-sequence errors for batched BER grids (evaluate --ber)
+            out["ber_row"] = (jnp.sum(-z * z_hat > 0,
+                                      axis=tuple(range(1, z.ndim)))
+                              / (z.size // z.shape[0]))
 
         features_hat, _ = self.core_decoder(params["decoder"], z_hat,
                                             key=self._noise_key(k_dec))

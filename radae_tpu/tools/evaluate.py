@@ -126,7 +126,7 @@ def run_sweep_shard_map(model, params, feats_seq, channels, EbNodB_list,
 
 
 def run_sweep(model, params, feats_seq, channels, EbNodB_list, reps=2,
-              mesh=None, seed=0):
+              mesh=None, seed=0, metric="loss"):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -145,6 +145,8 @@ def run_sweep(model, params, feats_seq, channels, EbNodB_list, reps=2,
 
     def fwd(p, f, h, g, e, k):
         out = model.forward(p, f, h, g, key=k, EbNodB=e)
+        if metric == "ber":
+            return out["ber_row"]
         fh = out["features_hat"]
         # per-row loss computed on device so only (B,) comes back
         return distortion_loss(f[..., :20], fh[..., :20])
@@ -186,6 +188,10 @@ def main(argv=None):
     p.add_argument("--auxdata", action="store_true")
     p.add_argument("--json", type=str, default="")
     p.add_argument("--n_devices", type=int, default=0)
+    p.add_argument("--ber", action="store_true",
+                   help="QPSK substitution BER grid instead of feature "
+                        "loss (reference ofdm_sync.sh BER-vs-EbNo curves, "
+                        "the whole curve as one batch)")
     p.add_argument("--shard_map", action="store_true",
                    help="explicit per-device programs + psum reduction "
                         "(requires a mesh) instead of jit-propagated "
@@ -195,10 +201,21 @@ def main(argv=None):
     import jax
 
     nf = 21 if args.auxdata else 20
-    cfg = RADAEConfig(feature_dim=nf, latent_dim=args.latent_dim,
-                      EbNodB=100, rate_Fs=True, pilots=True, pilot_eq=True,
-                      eq_mean6=False, cyclic_prefix=0.004, coarse_mag=True,
-                      time_offset=-16, bottleneck=3)
+    if args.ber:
+        # BER calibration waveform: bottleneck 1, no PA clip / coarse mag
+        # (reference model05, test/inference_ber_awgn.sh + ofdm_sync.sh —
+        # full-scale random QPSK through the bottleneck-3 tanh saturation
+        # is not a calibrated constellation)
+        cfg = RADAEConfig(feature_dim=nf, latent_dim=args.latent_dim,
+                          EbNodB=100, rate_Fs=True, pilots=True,
+                          pilot_eq=True, eq_mean6=False,
+                          cyclic_prefix=0.004, bottleneck=1, ber_test=True)
+    else:
+        cfg = RADAEConfig(feature_dim=nf, latent_dim=args.latent_dim,
+                          EbNodB=100, rate_Fs=True, pilots=True,
+                          pilot_eq=True, eq_mean6=False,
+                          cyclic_prefix=0.004, coarse_mag=True,
+                          time_offset=-16, bottleneck=3)
     model = RADAE(cfg)
     if args.model_name in ("", "random"):
         params = model.init(args.seed)
@@ -224,8 +241,9 @@ def main(argv=None):
     import time
     t0 = time.time()
     sweep = run_sweep_shard_map if args.shard_map else run_sweep
+    kw = {} if args.shard_map else {"metric": "ber" if args.ber else "loss"}
     table = sweep(model, params, feats_seq, channels, ebnos,
-                  reps=args.reps, mesh=mesh, seed=args.seed)
+                  reps=args.reps, mesh=mesh, seed=args.seed, **kw)
     dt = time.time() - t0
 
     print(f"{'channel':8s} " + " ".join(f"{e:7.1f}" for e in ebnos))

@@ -231,3 +231,25 @@ def test_plots_tool(tmp_path):
         out = str(tmp_path / f"{kind}.png")
         plots_main([kind, src, "--out", out])
         assert os.path.getsize(out) > 1000
+
+
+def test_evaluate_ber_curve(tmp_path, capsys):
+    """BER-vs-EbNo curve as ONE batched sweep (reference ofdm_sync.sh):
+    substitution BER through the full rate-Fs path must fall monotonically
+    with EbNo and sit within the 2 dB implementation-loss budget of QPSK
+    theory at the high end."""
+    import json
+    from math import erfc, sqrt
+    from radae_tpu.tools.evaluate import main as eval_main
+    fin = str(tmp_path / "f.f32")
+    make_feature_file(fin, nframes=240)
+    jf = str(tmp_path / "ber.json")
+    eval_main(["random", fin, "--channels", "awgn", "--EbNodB", "0,4,8",
+               "--reps", "4", "--seconds", "2.4", "--ber",
+               "--json", jf, "--n_devices", "8"])
+    t = json.load(open(jf))
+    b0, b4, b8 = t["awgn@0.0"], t["awgn@4.0"], t["awgn@8.0"]
+    assert b0 > b4 > b8, t
+    # theory at the 2 dB-degraded EbNo
+    th4 = 0.5 * erfc(sqrt(10 ** ((4 - 2) / 10)))
+    assert b4 < th4 * 1.5 + 0.01, (b4, th4)
