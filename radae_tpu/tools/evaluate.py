@@ -240,6 +240,8 @@ def main(argv=None):
 
     import time
     t0 = time.time()
+    if args.ber and args.shard_map:
+        p.error("--ber is not supported with --shard_map yet")
     sweep = run_sweep_shard_map if args.shard_map else run_sweep
     kw = {} if args.shard_map else {"metric": "ber" if args.ber else "loss"}
     table = sweep(model, params, feats_seq, channels, ebnos,
