@@ -206,12 +206,11 @@ class RADAE:
 
         out = {}
         if cfg.ber_test:
-            n_errors = jnp.sum(-z * z_hat > 0)
+            err = -z * z_hat > 0
             out["n_bits"] = z.size
-            out["n_errors"] = n_errors
+            out["n_errors"] = jnp.sum(err)
             # per-sequence errors for batched BER grids (evaluate --ber)
-            out["ber_row"] = (jnp.sum(-z * z_hat > 0,
-                                      axis=tuple(range(1, z.ndim)))
+            out["ber_row"] = (jnp.sum(err, axis=tuple(range(1, z.ndim)))
                               / (z.size // z.shape[0]))
 
         features_hat, _ = self.core_decoder(params["decoder"], z_hat,

@@ -198,24 +198,23 @@ def main(argv=None):
                         "shardings")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+    if args.ber and args.shard_map:
+        p.error("--ber is not supported with --shard_map yet")
     import jax
 
     nf = 21 if args.auxdata else 20
+    common = dict(feature_dim=nf, latent_dim=args.latent_dim, EbNodB=100,
+                  rate_Fs=True, pilots=True, pilot_eq=True, eq_mean6=False,
+                  cyclic_prefix=0.004)
     if args.ber:
         # BER calibration waveform: bottleneck 1, no PA clip / coarse mag
         # (reference model05, test/inference_ber_awgn.sh + ofdm_sync.sh —
         # full-scale random QPSK through the bottleneck-3 tanh saturation
         # is not a calibrated constellation)
-        cfg = RADAEConfig(feature_dim=nf, latent_dim=args.latent_dim,
-                          EbNodB=100, rate_Fs=True, pilots=True,
-                          pilot_eq=True, eq_mean6=False,
-                          cyclic_prefix=0.004, bottleneck=1, ber_test=True)
+        cfg = RADAEConfig(bottleneck=1, ber_test=True, **common)
     else:
-        cfg = RADAEConfig(feature_dim=nf, latent_dim=args.latent_dim,
-                          EbNodB=100, rate_Fs=True, pilots=True,
-                          pilot_eq=True, eq_mean6=False,
-                          cyclic_prefix=0.004, coarse_mag=True,
-                          time_offset=-16, bottleneck=3)
+        cfg = RADAEConfig(coarse_mag=True, time_offset=-16, bottleneck=3,
+                          **common)
     model = RADAE(cfg)
     if args.model_name in ("", "random"):
         params = model.init(args.seed)
@@ -240,8 +239,6 @@ def main(argv=None):
 
     import time
     t0 = time.time()
-    if args.ber and args.shard_map:
-        p.error("--ber is not supported with --shard_map yet")
     sweep = run_sweep_shard_map if args.shard_map else run_sweep
     kw = {} if args.shard_map else {"metric": "ber" if args.ber else "loss"}
     table = sweep(model, params, feats_seq, channels, ebnos,

@@ -223,9 +223,12 @@ def build_corpus(wav_dir: str, out_path: str, seed: int = 0):
           file=sys.stderr)
 
 
-def make_train_step(lr=3e-4):
+def make_train_step(lr=3e-4, decay_steps: int | None = None):
+    """decay_steps enables cosine LR decay (to 0.2*lr) over that many
+    optimizer steps — the v2 fixture recipe."""
     import optax
-    opt = optax.adam(lr)
+    sched = lr if decay_steps is None else         optax.cosine_decay_schedule(lr, decay_steps, alpha=0.2)
+    opt = optax.adam(sched)
 
     def loss_fn(params, feats, pcm, noise_sig):
         pred = synth(params, feats, noise_sig)
@@ -242,9 +245,37 @@ def make_train_step(lr=3e-4):
     return opt, step
 
 
+def clean_metric(params, feats36: np.ndarray) -> float:
+    """Clean-corpus round-trip fidelity: synthesize -> re-analyse ->
+    cepstral MSE vs the input features (±1 frame alignment slack).  Used
+    for checkpoint selection: training loss on the noisy augmented corpus
+    keeps falling while this metric peaks early and then degrades."""
+    voc = MelVocoder()
+    f = jnp.asarray(feats36[None, :, :20])
+    nz = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, (len(feats36) - 1) * FRAME)).astype(np.float32))
+    y = np.asarray(synth(params, f, nz))[0]
+    peak = np.abs(y).max() + 1e-9
+    pcm16 = (y / max(peak / 0.7, 1.0) * 29000).astype(np.int16)
+    f2 = voc.extract(pcm16)
+    n = min(len(f2), len(feats36)) - 2
+    best = np.inf
+    for d in (-1, 0, 1):
+        a = feats36[max(0, -d): n - max(0, d), :18]
+        b = f2[max(0, d): n - max(0, -d), :18]
+        m = min(len(a), len(b))
+        best = min(best, float(np.mean((a[:m] - b[:m]) ** 2)))
+    return best
+
+
 def train(corpus_path: str, out_dir: str, epochs: int = 60, batch: int = 16,
           t_frames: int = 101, lr: float = 3e-4, seed: int = 0,
+          hid: int = HID, lr_decay: bool = False, select_on: str = "",
           log=print):
+    """select_on: path of a 36-float feature file; every 10 epochs the
+    clean metric is evaluated on its first 400 frames and the best
+    checkpoint saved as vocoder_best.npz (the shipped-fixture recipe:
+    hid=256, lr_decay=True, select_on=fixtures/speech_feats.f32)."""
     import os
     import optax  # noqa: F401
 
@@ -262,13 +293,16 @@ def train(corpus_path: str, out_dir: str, epochs: int = 60, batch: int = 16,
     starts = np.array(starts)
     S = (t_frames - 1) * FRAME
 
-    params = jax.tree_util.tree_map(jnp.asarray, init_params(seed))
-    opt, step = make_train_step(lr)
+    params = jax.tree_util.tree_map(jnp.asarray, init_params(seed, hid=hid))
+    nb = max(1, len(starts) // batch)
+    opt, step = make_train_step(
+        lr, decay_steps=epochs * nb if lr_decay else None)
     opt_state = opt.init(params)
     rng = np.random.default_rng(seed + 1)
     os.makedirs(out_dir, exist_ok=True)
-
-    nb = max(1, len(starts) // batch)
+    sel_feats = (np.fromfile(select_on, np.float32).reshape(-1, 36)[:400]
+                 if select_on else None)
+    best = np.inf
     for ep in range(1, epochs + 1):
         order = rng.permutation(starts)
         tot = 0.0
@@ -283,7 +317,15 @@ def train(corpus_path: str, out_dir: str, epochs: int = 60, batch: int = 16,
                                            jnp.asarray(fb), jnp.asarray(pb),
                                            jnp.asarray(nz))
             tot += float(loss)
-        log(f"vocoder epoch {ep}: loss {tot / nb:.4f}")
+        msg = f"vocoder epoch {ep}: loss {tot / nb:.4f}"
+        if sel_feats is not None and (ep % 10 == 0 or ep == epochs):
+            d = clean_metric(params, sel_feats)
+            msg += f" cepdist {d:.4f}"
+            if d < best:
+                best = d
+                save_params(os.path.join(out_dir, "vocoder_best.npz"),
+                            params)
+        log(msg)
         if ep % 20 == 0 or ep == epochs:
             save_params(os.path.join(out_dir, f"vocoder_ep{ep}.npz"), params)
     return params
@@ -341,6 +383,11 @@ def main(argv=None):
     pt.add_argument("--epochs", type=int, default=60)
     pt.add_argument("--batch", type=int, default=16)
     pt.add_argument("--lr", type=float, default=3e-4)
+    pt.add_argument("--hid", type=int, default=HID)
+    pt.add_argument("--lr-decay", action="store_true")
+    pt.add_argument("--select-on", default="",
+                    help="feature file for clean-metric checkpoint "
+                         "selection (saves vocoder_best.npz)")
     ps = sub.add_parser("synth")
     ps.add_argument("weights")
     ps.add_argument("feat_f32")
@@ -351,7 +398,8 @@ def main(argv=None):
         build_corpus(args.wav_dir, args.out)
     elif args.cmd == "train":
         train(args.corpus, args.out_dir, epochs=args.epochs,
-              batch=args.batch, lr=args.lr)
+              batch=args.batch, lr=args.lr, hid=args.hid,
+              lr_decay=args.lr_decay, select_on=args.select_on)
     else:
         v = NeuralVocoder(args.weights)
         feats = np.fromfile(args.feat_f32,
