@@ -267,15 +267,15 @@ def make_fused_rx_frame_step(cfg, batch: int, tile: int = 512,
             return jnp.dot(a.astype(cd), b.astype(cd),
                            preferred_element_type=jnp.float32)
 
-        # demod: strip_cp + DFT — all symbol rows in ONE matmul per plane
-        # (folding the row loop keeps the Mosaic program small: 4 dots
-        # instead of 4*n_rs)
-        xr = rxr_ref[:].reshape(tile * n_rs, samp)
-        xi = rxi_ref[:].reshape(tile * n_rs, samp)
-        Ymr = (dot(xr, Wr) - dot(xi, Wi)).reshape(tile, n_rs, Nc)
-        Ymi = (dot(xr, Wi) + dot(xi, Wr)).reshape(tile, n_rs, Nc)
-        Yr = [Ymr[:, s, :] for s in range(n_rs)]
-        Yi = [Ymi[:, s, :] for s in range(n_rs)]
+        # demod: strip_cp + DFT as one matmul per symbol row.  (Folding
+        # all rows into a single (tile*n_rs, samp) dot via reshape was
+        # tried and is numerically identical, but the leading-dim merge of
+        # a 3-D VMEM block does not lower through Mosaic on this backend.)
+        Yr, Yi = [], []
+        for s in range(n_rs):
+            xr, xi = rxr_ref[:, s, :], rxi_ref[:, s, :]
+            Yr.append(dot(xr, Wr) - dot(xi, Wi))
+            Yi.append(dot(xr, Wi) + dot(xi, Wr))
 
         # LS pilot channel estimates from the frame's two pilot rows
         hp0r = dot(Yr[0], Er) - dot(Yi[0], Ei)
