@@ -108,3 +108,34 @@ def test_report_dashboard(tmp_path):
     page = out.read_text()
     assert "0.450" in page and "mpp" in page
     assert "serving_throughput" in page and "1,150,000" in page
+
+
+def test_wav_to_wav_end_to_end(flagship_params, tmp_path):
+    """The COMPLETE product path with both trained fixtures: wav ->
+    vocoder analysis -> radae encoder -> OFDM rate-Fs channel @ 10 dB ->
+    pilot-EQ receiver -> decoder -> trained neural vocoder synthesis ->
+    wav.  Gate: cepstral MSE of the output wav's re-analysis vs the input
+    features stays within budget (vocoder round trip ~0.54 + radae
+    channel distortion; measured 0.69)."""
+    import numpy as np
+    from radae_tpu.vocoder import MelVocoder
+    from radae_tpu.tools.wav_pipeline import main as wp_main, write_wav, \
+        read_wav
+
+    feats36 = np.fromfile(FEATS, np.float32).reshape(-1, 36)[:600]
+    voc = MelVocoder()
+    pcm_in = voc.synthesize(feats36)
+    win, wout = str(tmp_path / "in.wav"), str(tmp_path / "out.wav")
+    write_wav(win, pcm_in)
+    wp_main([CKPT, win, wout, "--EbNodB", "10", "--auxdata",
+             "--vocoder", "neural"])
+    f2 = voc.extract(read_wav(wout))
+    fin = voc.extract(pcm_in)
+    n = min(len(f2), len(fin)) - 4
+    best = np.inf
+    for d in range(-3, 4):
+        a = fin[max(0, -d): n - max(0, d), :18]
+        b = f2[max(0, d): n - max(0, -d), :18]
+        m = min(len(a), len(b))
+        best = min(best, float(np.mean((a[:m] - b[:m]) ** 2)))
+    assert best < 1.2, best
