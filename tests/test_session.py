@@ -139,3 +139,18 @@ def test_wav_to_wav_end_to_end(flagship_params, tmp_path):
         m = min(len(a), len(b))
         best = min(best, float(np.mean((a[:m] - b[:m]) ** 2)))
     assert best < 1.2, best
+
+
+def test_ptt_loop_two_overs_mpp_fading(flagship_params):
+    """Multi-over session through MPP fading at 3 dB: every over must
+    acquire and decode; EOO detection may be swallowed by a fade on one
+    over (physics), but not on all."""
+    from radae_tpu.tools.ptt_loop import run_session
+    feats = np.fromfile(FEATS, np.float32).reshape(-1, 36)
+    reports, _ = run_session(flagship_params, feats, n_overs=2,
+                             over_secs=5.0, gap_secs=2.0,
+                             channel="mpp", snrdB=3.0, seed=1)
+    for i, r in enumerate(reports):
+        assert r["acquired"], (i, reports)
+        assert r["frames_decoded"] >= 25, (i, reports)
+    assert any(r["eoo"] for r in reports), reports
