@@ -63,3 +63,43 @@ def test_trained_z_magnitude(trained):
     z, _ = model.core_encoder(params["encoder"], feats[None, :T, :], key=None)
     rms = float(np.sqrt((np.asarray(z) ** 2).mean()))
     assert 0.5 < rms <= 1.0, rms
+
+
+def test_trained_latent40_operating_point():
+    """The latent-40 model family (reference model18: half the symbol
+    rate, Nc=15) trained in-framework at the product config."""
+    L40 = os.path.join(FIX, "model_l40.npz")
+    if not os.path.exists(L40):
+        pytest.skip("latent-40 fixture not present")
+    import jax
+    from radae_tpu.config import RADAEConfig
+    from radae_tpu.models.radae import RADAE
+    from radae_tpu.convert import load_checkpoint
+    from radae_tpu.models.core import distortion_loss
+    from radae_tpu.ops import cplx
+
+    cfg = RADAEConfig(feature_dim=21, latent_dim=40, EbNodB=13.0,
+                      rate_Fs=True, pilots=True, pilot_eq=True,
+                      eq_mean6=False, cyclic_prefix=0.004, coarse_mag=True,
+                      time_offset=-16, bottleneck=3)
+    assert cfg.Nc == 15
+    model = RADAE(cfg)
+    params, meta = load_checkpoint(L40)
+    feats = np.fromfile(FEATS, np.float32).reshape(-1, 36)
+    T = cfg.num_10ms_times_steps_rounded_to_modem_frames(2400)
+    f = np.concatenate([feats[:T, :20], -np.ones((T, 1), np.float32)],
+                       axis=1)[None]
+    H = model.default_H(1, cfg.num_timesteps_at_rate_Rs(T))
+    n_fs = cfg.num_timesteps_at_rate_Fs(cfg.num_timesteps_at_rate_Rs(T))
+    G = model.default_G(1, n_fs)
+    out = model.forward(params, f, H, G,
+                        key=jax.numpy.asarray(np.array([0, 0], np.uint32)))
+    loss = float(np.asarray(distortion_loss(
+        f[..., :20], out["features_hat"][..., :20]))[0])
+    train_loss = float(meta.get("loss", 0.5))
+    # half the bits/s of the latent-80 waveform: quality tracks its own
+    # training loss, with product-path implementation slack
+    assert loss < train_loss + 0.15, (loss, train_loss)
+    ber = float(np.mean(
+        f[..., 20] * np.asarray(out["features_hat"])[..., 20] < 0))
+    assert ber < 0.05, ber
