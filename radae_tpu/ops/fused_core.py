@@ -389,7 +389,15 @@ def make_fused_encoder_step(feature_dim: int, latent_dim: int,
     """Fused encoder step: features (B, nz*4, F) -> z (B, nz, latent).
 
     Mirrors make_fused_decoder_step for the encoder stack (no GLU; conv
-    dilations 1,2,2,2,2 carried as per-layer history rings)."""
+    dilations 1,2,2,2,2 carried as per-layer history rings).
+
+    NOTE (measured on the v5-lite relay): this kernel is validated in
+    interpret mode but its 3-D conv-history VMEM blocks do not lower
+    through Mosaic on that backend, and the tx side doesn't need it —
+    the encoder is matmul-light enough that the plain XLA path serves
+    2.1M audio-s/s at B=2048 (0.115 ms/frame), faster than the decode
+    side.  Kept for backends where it compiles and as the template for
+    the decoder kernel."""
     assert batch % tile == 0
     n_tiles = batch // tile
     dils = [d for _, _, d in _ENC_CONV_DIMS]
