@@ -88,10 +88,15 @@ class RadaeRx:
         self.uw_errors = 0
         self.synced_count = 0
         self.rx_phase = np.complex64(1 + 0j)
-        self.fcp_phasor = 0.0 + 0.0j   # CP-discriminator fade-weighted IIR
-        self.fcp_mag = 0.0             # |corr| IIR for the coherence gate
+        self._fcp_reset()              # CP-discriminator IIR state
         # ring buffer: P DDD P DDD P + Ncp slack for timing slips
         self.rx_buf = np.zeros(2 * Nmf + M + Ncp, np.complex64)
+
+    def _fcp_reset(self):
+        """Clear the CP-discriminator IIRs and re-arm their warmup."""
+        self.fcp_phasor = 0.0 + 0.0j   # fade-weighted phasor IIR
+        self.fcp_mag = 0.0             # |corr| IIR for the coherence gate
+        self.fcp_n = 0                 # frames since reset (warmup)
 
     # -- C-API style getters (reference: radae_rxe.py:134-160) --------------
     def get_n_features_out(self):
@@ -169,18 +174,20 @@ class RadaeRx:
                 corr = acq.est_cp_corr(self.rx_buf, self.tmax, self.fmax)
                 self.fcp_phasor = 0.9 * self.fcp_phasor + 0.1 * corr
                 self.fcp_mag = 0.9 * self.fcp_mag + 0.1 * abs(corr)
+                self.fcp_n += 1
                 # coherence gate: during noise-only stretches (deep fades,
                 # post-EOO hang time) per-frame angles are random, so the
                 # phasor IIR collapses relative to the magnitude IIR —
-                # without this gate fmax would random-walk through fades
+                # without this gate fmax would random-walk through fades.
+                # fcp_n re-arms the warmup after every reset so a single
+                # frame can never dominate a freshly-cleared IIR.
                 coherent = abs(self.fcp_phasor) > 0.5 * self.fcp_mag
-                if self.synced_count >= 8 and coherent:
+                if self.synced_count >= 8 and self.fcp_n >= 8 and coherent:
                     dfcp = (np.angle(self.fcp_phasor) * Fs
                             / (2 * np.pi * M))
                     if abs(dfcp) > 4.5:
                         self.fmax += dfcp
-                        self.fcp_phasor = 0.0 + 0.0j
-                        self.fcp_mag = 0.0
+                        self._fcp_reset()
 
             # timing slips: rx clock faster/slower than tx clock
             self.nin = Nmf
@@ -239,8 +246,7 @@ class RadaeRx:
                     tfine = np.arange(max(0, self.tmax - 1), self.tmax + 2)
                     self.tmax, self.fmax = acq.refine(self.rx_buf, self.tmax,
                                                       self.fmax, tfine, ffine)
-                    self.fcp_phasor = 0.0 + 0.0j
-                    self.fcp_mag = 0.0
+                    self._fcp_reset()
                     self.fmax += self.foff_err       # false-sync test hook
                     self._foff_injected = self.foff_err != 0.0
                     self.foff_err = 0.0

@@ -123,3 +123,31 @@ def load_g_file(g_fn: str) -> np.ndarray:
 
 def load_h_file(h_fn: str, Nc: int) -> np.ndarray:
     return np.fromfile(h_fn, dtype=np.float32).reshape(-1, Nc)
+
+
+def fade_two_path(x: np.ndarray, channel: str, Fs: float = 8000,
+                  rng: np.random.Generator | None = None,
+                  normalize: bool = True) -> np.ndarray:
+    """Apply a preset two-path Watterson fade to a sample stream.
+
+    Receive-time gain convention: y[n] = hf_gain*(G1[n]*x[n] +
+    G2[n]*x[n-d]) with d the preset's path delay.  The single shared
+    implementation behind tools/ch, tools/ptt_loop and the streaming
+    robustness tests.  With normalize=True the output is rescaled to the
+    input's mean power so a subsequently-set SNR is the true SNR."""
+    if rng is None:
+        rng = np.random.default_rng()
+    x = np.asarray(x, np.complex64)
+    _, path_delay_s = CHANNEL_PRESETS[channel]
+    _, G, hf_gain = multipath_samples(channel, Fs, Fs / 160, 1,
+                                      len(x) / Fs + 1, rng=rng)
+    G1, G2 = G[: len(x), 0], G[: len(x), 1]
+    d = int(round(path_delay_s * Fs))
+    delayed = np.concatenate([np.zeros(d, np.complex64), x[:-d]])
+    y = (hf_gain * (x * G1 + delayed * G2)).astype(np.complex64)
+    if normalize:
+        sig = np.abs(x) > 0
+        p_in = (np.abs(x[sig]) ** 2).mean() if sig.any() else 0.0
+        p_out = (np.abs(y[sig]) ** 2).mean() + 1e-12 if sig.any() else 1.0
+        y = (y * np.sqrt(p_in / p_out)).astype(np.complex64)
+    return y

@@ -23,7 +23,7 @@ import argparse
 
 import numpy as np
 
-from ..channel.doppler import CHANNEL_PRESETS, multipath_samples
+from ..channel.doppler import CHANNEL_PRESETS, fade_two_path
 
 
 def apply_ch(x: np.ndarray, No_dB: float, Fs: float = 8000,
@@ -37,13 +37,8 @@ def apply_ch(x: np.ndarray, No_dB: float, Fs: float = 8000,
         rng = np.random.default_rng()
     x = np.asarray(x, np.complex64)
     if fading is not None:
-        spread_Hz, path_delay_s = CHANNEL_PRESETS[fading]
-        _, G, hf_gain = multipath_samples(
-            fading, Fs, Fs / 160, 1, len(x) / Fs + 1, rng=rng)
-        G1, G2 = G[:len(x), 0], G[:len(x), 1]
-        d = int(round(path_delay_s * Fs))
-        delayed = np.concatenate([np.zeros(d, np.complex64), x[:-d]])
-        x = (hf_gain * (x * G1 + delayed * G2)).astype(np.complex64)
+        # unnormalised: C is measured from the faded power below
+        x = fade_two_path(x, fading, Fs, rng=rng, normalize=False)
     C = float(np.mean(np.abs(x) ** 2))
     No = 10.0 ** (No_dB / 10.0)
     sigma2 = No * Fs

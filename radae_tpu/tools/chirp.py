@@ -85,9 +85,12 @@ def est_CNo(rx, Fs=8000, f_sig=(400, 2000), chirp_secs=4.0, verbose=False):
 def est_CNo_main(argv=None):
     p = argparse.ArgumentParser(description="C/No estimate from chirp IQ.f32")
     p.add_argument("rx", type=str)
+    p.add_argument("--chirp-secs", type=float, default=4.0,
+                   help="tx chirp length the averaging span must match "
+                        "(a longer span dilutes C with non-chirp windows)")
     args = p.parse_args(argv)
     rx = np.fromfile(args.rx, np.complex64)
-    CNo, t = est_CNo(rx, verbose=False)
+    CNo, t = est_CNo(rx, chirp_secs=args.chirp_secs, verbose=False)
     print(f"C/No (dBHz): {CNo:5.2f} time: {t:5.2f}")
 
 

@@ -71,18 +71,8 @@ def run_session(params, feats_rows: np.ndarray, n_overs: int = 2,
 
     # channel
     if channel and channel != "awgn":
-        from ..channel.doppler import CHANNEL_PRESETS, multipath_samples
-        _, path_delay_s = CHANNEL_PRESETS[channel]
-        _, G, hf = multipath_samples(channel, 8000, 50, 1,
-                                     len(session) / 8000 + 1, rng=rng)
-        G = hf * G[: len(session)]
-        d = int(round(path_delay_s * 8000))
-        faded = session * G[:, 0]
-        faded[d:] += session[:-d] * G[:-d, 1]
-        sig = np.abs(session) > 0
-        faded *= np.sqrt((np.abs(session[sig]) ** 2).mean()
-                         / ((np.abs(faded[sig]) ** 2).mean() + 1e-12))
-        session = faded.astype(np.complex64)
+        from ..channel.doppler import fade_two_path
+        session = fade_two_path(session, channel, 8000, rng=rng)
     if snrdB is not None:
         sig = session[np.abs(session) > 0]
         S = (np.abs(sig) ** 2).mean()

@@ -117,8 +117,9 @@ def main(argv=None):
     p.add_argument("model_name")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--noauxdata", dest="auxdata", action="store_false")
-    p.add_argument("--one-request", action="store_true",
-                   help="serve a single request then exit (for tests)")
+    p.add_argument("--serve-requests", type=int, default=0,
+                   help="serve exactly N requests then exit (for tests); "
+                        "0 = serve forever")
     args = p.parse_args(argv)
 
     from ..convert import load_checkpoint
@@ -127,9 +128,9 @@ def main(argv=None):
                               make_handler(params, args.auxdata))
     print(f"webtx: listening on http://127.0.0.1:{srv.server_port}/",
           file=sys.stderr)
-    if args.one_request:
-        srv.handle_request()
-        srv.handle_request()
+    if args.serve_requests:
+        for _ in range(args.serve_requests):
+            srv.handle_request()
     else:
         srv.serve_forever()
     return 0

@@ -204,17 +204,11 @@ def test_acquisition_with_sine_interferer(tx_stream):
 
 
 def _fade(stream, ch, rng, cfg):
-    """Apply a two-path fading channel preset, power-renormalised."""
-    from radae_tpu.channel.doppler import multipath_samples
-    _, G, hf_gain = multipath_samples(ch, cfg.Fs, cfg.Rs_dash, cfg.Nc,
-                                      len(stream) / cfg.Fs + 1, rng=rng)
-    G = hf_gain * G[: len(stream)]
-    d = cfg.d_samples
-    faded = stream * G[:, 0]
-    faded[d:] += stream[:-d] * G[:-d, 1]
-    faded *= np.sqrt((np.abs(stream) ** 2).mean()
-                     / (np.abs(faded) ** 2).mean())
-    return faded.astype(np.complex64)
+    """Apply a two-path fading channel preset, power-renormalised (the
+    preset's own path delay — e.g. MPD is 4 ms, not the waveform's 2 ms
+    design value)."""
+    from radae_tpu.channel.doppler import fade_two_path
+    return fade_two_path(stream, ch, cfg.Fs, rng=rng)
 
 
 @pytest.mark.parametrize("ch,snr,foff,budget_mf", [

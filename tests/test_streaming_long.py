@@ -135,18 +135,8 @@ def _loss_segments(ref, segs, max_delay=20):
 
 
 def _fade(stream, channel, rng):
-    from radae_tpu.channel.doppler import CHANNEL_PRESETS, multipath_samples
-    _, path_delay_s = CHANNEL_PRESETS[channel]
-    _, G, hf_gain = multipath_samples(channel, 8000, 50, 1,
-                                      len(stream) / 8000 + 1, rng=rng)
-    G = hf_gain * G[: len(stream)]
-    d = int(round(path_delay_s * 8000))
-    faded = stream * G[:, 0]
-    faded[d:] += stream[:-d] * G[:-d, 1]
-    # keep power calibrated so the SNR we then set is the true SNR
-    faded *= np.sqrt((np.abs(stream) ** 2).mean()
-                     / (np.abs(faded) ** 2).mean())
-    return faded.astype(np.complex64)
+    from radae_tpu.channel.doppler import fade_two_path
+    return fade_two_path(stream, channel, 8000, rng=rng)
 
 
 def _add_noise_at_snr(stream, snrdB, rng, Fs=8000, B=3000):

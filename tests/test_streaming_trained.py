@@ -245,7 +245,7 @@ def test_c_foff_false_sync(flagship, tmp_path):
                         cwd=str(tmp_path))
     err = rc.stderr.decode()
     assert "unsync" in err.splitlines(), err          # false sync dropped
-    assert err.count("sync") >= 2, err                # ...and re-acquired
+    assert err.split().count("sync") >= 2, err                # ...and re-acquired
     out = np.frombuffer(rc.stdout, np.float32).reshape(-1, 36)
     assert out.shape[0] >= 20 * 12, (out.shape, err)  # decodes remainder
 
