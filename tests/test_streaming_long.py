@@ -196,3 +196,60 @@ def test_clock_offset_200ppm_real_slip(flagship, ppm, prepad):
     train_loss = float(meta.get("loss", 0.35))
     loss = _loss_segments(ref, segs)
     assert loss < train_loss + 0.2, (loss, train_loss)
+
+
+def test_cp_guard_corrects_pilot_spacing_alias(flagship):
+    """Inject the exact pilot-spacing frequency alias (1/Tmf = 8.33 Hz)
+    into a synced receiver: refine/check_pilots cannot see it (the pilot
+    correlation is periodic in 1/Tmf), but the CP-correlation guard must
+    measure the true offset and recenter fmax after its warmup, letting
+    the receiver recover — without the guard this lock is unrecoverable
+    by pilot checks alone."""
+    params, feats, meta = flagship
+    from radae_tpu.apps.txe import RadaeTx
+    from radae_tpu.apps.rxe import RadaeRx
+
+    tx = RadaeTx(params=params, auxdata=True)
+    nrows = len(feats) // ROWS * ROWS
+    frames = [tx.do_radae_tx(feats[(i * ROWS) % nrows:
+                                   (i * ROWS) % nrows + ROWS].flatten())
+              for i in range(120)]
+    stream = np.concatenate(frames + [np.zeros(3000, np.complex64)])
+    rng = np.random.default_rng(0)
+    S = (np.abs(stream[np.abs(stream) > 0]) ** 2).mean()
+    sig2 = S / 10 ** (6 / 10) * 8000 / 3000
+    stream = stream + np.sqrt(sig2 / 2) * (
+        rng.standard_normal(len(stream))
+        + 1j * rng.standard_normal(len(stream)))
+
+    rx = RadaeRx(params=params, auxdata=True, v=0)
+    out = np.zeros(rx.get_n_floats_out(), np.float32)
+    ptr = fr = 0
+    injected = inj_frame = None
+    corrected_frame = resynced_frame = None
+    while ptr + rx.get_nin() <= len(stream):
+        nin = rx.get_nin()
+        rx.do_radae_rx(stream[ptr:ptr + nin], out)
+        ptr += nin
+        fr += 1
+        if rx.state == "sync" and injected is None and fr > 25:
+            rx.fmax += 1 / 0.12          # the 8.33 Hz alias
+            rx._fcp_reset()
+            injected, inj_frame = True, fr
+            continue
+        if injected:
+            if corrected_frame is None and abs(rx.fmax) < 2.0:
+                corrected_frame = fr
+            if corrected_frame and resynced_frame is None \
+                    and rx.state == "sync":
+                resynced_frame = fr
+            if resynced_frame and fr > resynced_frame + 5:
+                break
+    assert injected, "never reached sync"
+    # guard warmup is 8 frames; correction must land shortly after
+    assert corrected_frame is not None and \
+        corrected_frame - inj_frame <= 12, (inj_frame, corrected_frame)
+    # and the receiver is decoding again (possibly after one UW unsync)
+    assert resynced_frame is not None and \
+        resynced_frame - inj_frame <= 25, (inj_frame, resynced_frame)
+    assert abs(rx.fmax) < 2.0, rx.fmax
