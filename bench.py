@@ -36,6 +36,10 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "360"))
 _best = {"value": None, "config": None, "printed": False}
 
 
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache.json")
+
+
 def _emit(error=None):
     """Print the single JSON result line (idempotent)."""
     if _best["printed"]:
@@ -45,6 +49,13 @@ def _emit(error=None):
         out = {"metric": "streaming_rx_decode", "value": 0.0,
                "unit": "audio-seconds/s/chip", "vs_baseline": 0.0,
                "error": (error or "no config completed")[:200]}
+        try:
+            with open(CACHE) as f:
+                # informational only: the most recent SUCCESSFUL on-chip
+                # measurement from a previous run (value stays 0.0)
+                out["last_measured"] = json.load(f)
+        except Exception:
+            pass
     else:
         out = {"metric": "streaming_rx_decode",
                "value": round(_best["value"], 1),
@@ -175,6 +186,13 @@ def main():
             if _best["value"] is None or v > _best["value"]:
                 _best["value"] = v
                 _best["config"] = f"B={batch},fused={fused},tile={tile}"
+                try:
+                    with open(CACHE, "w") as f:
+                        json.dump({"value": round(v, 1),
+                                   "config": _best["config"],
+                                   "unix_time": int(time.time())}, f)
+                except Exception:
+                    pass
         except Exception as e:          # TPU runtime flake: try next rung
             err = f"{type(e).__name__}: {e}"
             continue
