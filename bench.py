@@ -1,7 +1,7 @@
 """Headline benchmark: streaming rx decode throughput, audio-seconds/s/chip.
 
 Batches the 120 ms streaming receiver step (OFDM demod + LS pilot EQ +
-stateful core decoder — the radae_rxe hot path) across independent streams
+stateful core decoder -- the radae_rxe hot path) across independent streams
 (channel realisations), the serving configuration for TPU.  The decoder
 runs as the Pallas VMEM-resident fused kernel (radae_tpu/ops/fused_core.py).
 
@@ -10,12 +10,20 @@ Baseline: the reference streaming receiver decodes 9.82 s of audio in
 README.md:312-318) = 1.532 audio-seconds/s.
 
 Robustness contract (the driver runs this under `timeout` on a relay-
-tunnelled TPU where session setup alone can take 30 s - 5 min):
-  * the KNOWN-GOOD FASTEST config runs first and its result is recorded
-    immediately;
-  * SIGTERM/SIGALRM handlers flush the best result obtained so far, so
-    even a driver timeout yields a parsed JSON line;
-  * larger configs are attempted only while inside the internal budget.
+tunnelled TPU where session setup alone can take 30 s - 5 min, and where
+the TPU client can hang *uninterruptibly* inside C code -- signal handlers
+never run; that is how rounds 1 and 2 scored 0.0):
+
+  * The PARENT process never imports jax, so it can always flush a result.
+  * All TPU work happens in a CHILD process (its own session group).  The
+    child runs a ladder of configs CHEAPEST-COMPILE-FIRST and streams one
+    result line per completed rung; the first rung (B=8, unfused, no scan)
+    compiles in seconds and banks a nonzero number immediately.
+  * If the child produces nothing within FIRST_RESULT_DEADLINE, the parent
+    kills the whole child process group and retries ONCE with a fresh child
+    (fresh TPU session) restricted to the cheap rungs.
+  * SIGTERM/SIGINT/SIGALRM and a watchdog thread in the parent flush the
+    best result obtained so far.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "audio-seconds/s/chip", "vs_baseline": N}
@@ -23,53 +31,34 @@ Prints ONE JSON line:
 
 import json
 import os
+import queue
 import signal
+import subprocess
 import sys
+import threading
 import time
-
-import numpy as np
 
 REF_AUDIO_SEC_PER_S = 9.82 / 6.41     # reference CPU realtime throughput
 T_START = time.time()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "360"))
+HERE = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(HERE, ".bench_cache.json")
 
-_best = {"value": None, "config": None, "printed": False}
-
-
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".bench_cache.json")
-
-
-def _emit(error=None):
-    """Print the single JSON result line (idempotent)."""
-    if _best["printed"]:
-        return
-    _best["printed"] = True
-    if _best["value"] is None:
-        out = {"metric": "streaming_rx_decode", "value": 0.0,
-               "unit": "audio-seconds/s/chip", "vs_baseline": 0.0,
-               "error": (error or "no config completed")[:200]}
-        try:
-            with open(CACHE) as f:
-                # informational only: the most recent SUCCESSFUL on-chip
-                # measurement from a previous run (value stays 0.0)
-                out["last_measured"] = json.load(f)
-        except Exception:
-            pass
-    else:
-        out = {"metric": "streaming_rx_decode",
-               "value": round(_best["value"], 1),
-               "unit": "audio-seconds/s/chip",
-               "vs_baseline": round(_best["value"] / REF_AUDIO_SEC_PER_S, 1),
-               "config": _best["config"]}
-    sys.stdout.write(json.dumps(out) + "\n")
-    sys.stdout.flush()
+# Ladder of (batch, fused, tile, scan), cheapest compile first.  Each rung
+# reports immediately on completion; later rungs only improve the result.
+# Round-2 measurements: B=2048 fused composite = 1.21M audio-s/s/chip.
+LADDER = (
+    (8,    False, 0,   1),    # compiles in seconds: banks a nonzero number
+    (256,  False, 0,   8),    # small unfused scan: still cheap, ~100k+
+    (1024, True,  512, 32),   # fused decoder kernel
+    (2048, True,  512, 32),   # round-2 headline config
+)
+CHEAP_RUNGS = 2               # retry child only attempts LADDER[:CHEAP_RUNGS]
 
 
-def _on_signal(signum, frame):
-    _emit(error=f"interrupted by signal {signum}")
-    os._exit(0)
-
+# --------------------------------------------------------------------------
+# Child: owns the TPU session, runs the ladder, one result line per rung.
+# --------------------------------------------------------------------------
 
 def run_bench(batch: int, n_frames: int = 5, fused: bool = True,
               tile: int = 512, scan: int = 32):
@@ -81,7 +70,11 @@ def run_bench(batch: int, n_frames: int = 5, fused: bool = True,
     tunnelled TPU runtimes a single device->host readback also carries a
     large fixed latency that has nothing to do with chip throughput, so we
     additionally time n1 and n2 chained calls and take (t2-t1)/(n2-n1)
-    as the per-call time."""
+    as the per-call time.  Consecutive calls are state-chained (each call
+    consumes the previous call's on-device final state) so they stay
+    strictly sequential on device even under async dispatch.
+    """
+    import numpy as np
     import jax
     from radae_tpu.config import flagship_config
     from radae_tpu.models.core import CoreDecoder
@@ -118,8 +111,8 @@ def run_bench(batch: int, n_frames: int = 5, fused: bool = True,
             def body(st, _):
                 f, st2 = rx_step(p, rx, st)
                 return st2, f[:, 0, 0]
-            _, outs = jax.lax.scan(body, state, None, length=scan)
-            return outs
+            final_state, outs = jax.lax.scan(body, state, None, length=scan)
+            return outs, final_state
     else:
         call = rx_step
 
@@ -132,10 +125,7 @@ def run_bench(batch: int, n_frames: int = 5, fused: bool = True,
         t0 = time.time()
         out = None
         for _ in range(n):
-            if scan > 1:
-                out = call(dec_params, rx, state)
-            else:
-                out, state = call(dec_params, rx, state)
+            out, state = call(dec_params, rx, state)
         np.asarray(out)
         return time.time() - t0
 
@@ -145,61 +135,189 @@ def run_bench(batch: int, n_frames: int = 5, fused: bool = True,
         t1, t2 = run_n(n1), run_n(n2)
         slopes.append((t2 - t1) / (n2 - n1))
     dt = float(np.median(slopes)) / max(scan, 1)          # per frame
+    dt = max(dt, 1e-9)
 
     audio_per_step = batch * cfg.Tmf                      # B * 0.12 s
     return audio_per_step / dt
 
 
-def _watchdog():
-    """Last-resort flush that works even when the main thread is stuck in
-    an uninterruptible C call (e.g. the TPU client retrying a dead relay
-    tunnel internally, where SIGALRM/SIGTERM handlers never get to run:
-    this is how round 1's driver bench produced no JSON at all)."""
-    time.sleep(BUDGET_S + 60)
-    _emit(error="watchdog: TPU backend unresponsive")
+def child_main(deadline: float, max_rungs: int):
+    """Run the ladder; print '@RUNG {json}' per completed rung (stdout is a
+    pipe to the parent, line-buffered via flush)."""
+    plat = os.environ.get("BENCH_PLATFORM")      # test hook: "cpu"
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+    for batch, fused, tile, scan in LADDER[:max_rungs]:
+        if time.time() > deadline:
+            break
+        try:
+            v = run_bench(batch, fused=fused, tile=tile or 512, scan=scan)
+            msg = {"value": v,
+                   "config": f"B={batch},fused={fused},tile={tile},scan={scan}"}
+            sys.stdout.write("@RUNG " + json.dumps(msg) + "\n")
+            sys.stdout.flush()
+        except Exception as e:                     # TPU flake: try next rung
+            sys.stderr.write(f"rung B={batch} failed: "
+                             f"{type(e).__name__}: {e}\n")
+            sys.stderr.flush()
+
+
+# --------------------------------------------------------------------------
+# Parent: jax-free supervisor; always emits exactly one JSON line.
+# --------------------------------------------------------------------------
+
+_best = {"value": None, "config": None, "printed": False}
+
+
+def _emit(error=None):
+    """Print the single JSON result line (idempotent)."""
+    if _best["printed"]:
+        return
+    _best["printed"] = True
+    if _best["value"] is None:
+        out = {"metric": "streaming_rx_decode", "value": 0.0,
+               "unit": "audio-seconds/s/chip", "vs_baseline": 0.0,
+               "error": (error or "no config completed")[:200]}
+        try:
+            with open(CACHE) as f:
+                # informational only: the most recent SUCCESSFUL on-chip
+                # measurement from a previous run (value stays 0.0)
+                out["last_measured"] = json.load(f)
+        except Exception:
+            pass
+    else:
+        out = {"metric": "streaming_rx_decode",
+               "value": round(_best["value"], 1),
+               "unit": "audio-seconds/s/chip",
+               "vs_baseline": round(_best["value"] / REF_AUDIO_SEC_PER_S, 1),
+               "config": _best["config"]}
+    sys.stdout.write(json.dumps(out) + "\n")
+    sys.stdout.flush()
+
+
+def _record(value, config):
+    if _best["value"] is None or value > _best["value"]:
+        _best["value"] = value
+        _best["config"] = config
+        try:
+            with open(CACHE, "w") as f:
+                json.dump({"value": round(value, 1), "config": config,
+                           "unix_time": int(time.time())}, f)
+        except Exception:
+            pass
+
+
+_children = []
+
+
+def _kill_children():
+    for proc in _children:
+        if proc.poll() is None:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except Exception:
+                pass
+
+
+def _on_signal(signum, frame):
+    _kill_children()
+    _emit(error=f"interrupted by signal {signum}")
     os._exit(0)
 
 
+def _spawn_child(max_rungs: int):
+    deadline = T_START + 0.92 * BUDGET_S
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child",
+         f"{deadline}", f"{max_rungs}"],
+        stdout=subprocess.PIPE, stderr=sys.stderr,
+        cwd=HERE, start_new_session=True, text=True)
+    _children.append(proc)
+    q = queue.Queue()
+
+    def reader():
+        try:
+            for line in proc.stdout:
+                if line.startswith("@RUNG "):
+                    try:
+                        q.put(json.loads(line[6:]))
+                    except Exception:
+                        pass
+        except Exception:
+            pass
+        q.put(None)                                   # EOF sentinel
+
+    threading.Thread(target=reader, daemon=True).start()
+    return proc, q
+
+
+def _harvest(proc, q, stop_if_no_result_by: float):
+    """Drain rung results until child exit, parent budget expiry, or (while
+    still resultless) the first-result deadline.  Returns True if any result
+    arrived."""
+    got = _best["value"] is not None
+    while True:
+        now = time.time()
+        hard_deadline = T_START + 0.95 * BUDGET_S
+        deadline = hard_deadline if got else min(hard_deadline,
+                                                 stop_if_no_result_by)
+        if now >= deadline:
+            return got
+        try:
+            item = q.get(timeout=min(2.0, deadline - now))
+        except queue.Empty:
+            continue
+        if item is None:                               # child EOF
+            proc.wait(timeout=10)
+            return got
+        _record(item["value"], item["config"])
+        got = True
+
+
 def main():
-    import threading
-    threading.Thread(target=_watchdog, daemon=True).start()
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGINT, _on_signal)
     if hasattr(signal, "SIGALRM"):
         signal.signal(signal.SIGALRM, _on_signal)
         signal.alarm(int(BUDGET_S))
 
-    err = None
-    # Fastest-known-good first (measured sweep, round 2: B=2048/tile=512 =
-    # 643k audio-s/s, 0.38 ms/step; B=4096/tile=512 VMEM-OOMs).  Each
-    # success records immediately so a timeout mid-rung still reports.
-    ladder = ((2048, True, 512), (1024, True, 512),
-              (1024, False, 0), (8, False, 0))
-    for batch, fused, tile in ladder:
-        elapsed = time.time() - T_START
-        if _best["value"] is not None:
-            break                       # got a number: don't risk it
-        if elapsed > 0.8 * BUDGET_S:
-            break
-        try:
-            v = run_bench(batch, fused=fused, tile=tile or 512)
-            if _best["value"] is None or v > _best["value"]:
-                _best["value"] = v
-                _best["config"] = f"B={batch},fused={fused},tile={tile}"
-                try:
-                    with open(CACHE, "w") as f:
-                        json.dump({"value": round(v, 1),
-                                   "config": _best["config"],
-                                   "unix_time": int(time.time())}, f)
-                except Exception:
-                    pass
-        except Exception as e:          # TPU runtime flake: try next rung
-            err = f"{type(e).__name__}: {e}"
-            continue
+    def watchdog():
+        time.sleep(BUDGET_S + 30)
+        _kill_children()
+        _emit(error="watchdog: parent overran budget")
+        os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+    # Attempt 1: full ladder.  The TPU client can take 30s-5min just to
+    # open a session; give the first rung up to 55% of budget before
+    # declaring the session dead.
+    proc, q = _spawn_child(max_rungs=len(LADDER))
+    got = _harvest(proc, q, stop_if_no_result_by=T_START + 0.55 * BUDGET_S)
+
+    if not got:
+        # Session hung or child died resultless: kill the group, retry once
+        # with a fresh session on the cheap rungs only (the relay may have
+        # recovered).
+        if proc.poll() is None:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except Exception:
+                pass
+        time.sleep(2)                     # let the chip lease lapse
+        proc2, q2 = _spawn_child(max_rungs=CHEAP_RUNGS)
+        got = _harvest(proc2, q2,
+                       stop_if_no_result_by=T_START + 0.95 * BUDGET_S)
+
+    _kill_children()
     if hasattr(signal, "SIGALRM"):
         signal.alarm(0)
-    _emit(error=err)
+    _emit(error="TPU backend produced no result within budget")
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 2 and sys.argv[1] == "--child":
+        child_main(deadline=float(sys.argv[2]), max_rungs=int(sys.argv[3]))
+    else:
+        main()

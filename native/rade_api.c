@@ -45,6 +45,9 @@ struct rade {
     ro_bpf rxbpf;
     ro_acq acq;
     rc_cplx rx_buf[2 * 960 + RO_MAX_M + RO_MAX_NCP];
+    rc_cplx rx_scratch[2 * 960 + RO_MAX_M + RO_MAX_NCP]; /* freq-corrected
+        frame (~17 KB): per-instance, not stack — worker threads on musl
+        default to 128 KB stacks */
     int rx_buf_len;
     int nin;
     enum rx_state state;
@@ -208,7 +211,7 @@ int rade_rx(struct rade *r, float features_out[], int *has_eoo_out,
         int win = Nmf + M + Ncp;
         float w = 2.0 * M_PI * r->fmax / m->Fs;
         rc_cplx dec = cexpf(-I * (float)w);
-        rc_cplx rx1[2 * 960 + RO_MAX_M + RO_MAX_NCP]; /* ~34 KB stack: re-entrant */
+        rc_cplx *rx1 = r->rx_scratch;
         const rc_cplx *src = r->rx_buf + r->tmax - Ncp;
         rc_cplx ph = r->rx_phase;
         for (int n = 0; n < win; n++) {

@@ -427,12 +427,11 @@ void ro_bpf_run(ro_bpf *b, rc_cplx *out, const rc_cplx *in, int n)
     /* mix down, FIR, mix back up, carrying filter memory + LO phase */
     rc_cplx dec = cexpf(-I * b->alpha);
     rc_cplx ph = b->phase;
-    /* build extended input: mem + baseband (stack-local: re-entrant, one
-       instance per ro_bpf state so multiple rade contexts can coexist) */
-    rc_cplx ext[RO_BPF_NTAP - 1 + 8192];
-    if (n > 8192) n = 8192;
+    /* build extended input: mem + baseband, in per-instance scratch */
+    rc_cplx *ext = b->ext;
+    rc_cplx *phases = b->phases;
+    if (n > RO_BPF_MAXBLOCK) n = RO_BPF_MAXBLOCK;
     memcpy(ext, b->mem, (RO_BPF_NTAP - 1) * sizeof(rc_cplx));
-    rc_cplx phases[8192];
     for (int i = 0; i < n; i++) {
         ph *= dec;
         phases[i] = ph;

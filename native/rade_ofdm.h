@@ -86,12 +86,18 @@ void ro_acq_check(ro_acq *a, const rc_cplx *rx, int tmax, float fmax,
 /* -- streaming complex band-pass filter ---------------------------------- */
 
 #define RO_BPF_NTAP 101
+#define RO_BPF_MAXBLOCK 8192
 
 typedef struct {
     rc_cplx h[RO_BPF_NTAP];
     rc_cplx mem[RO_BPF_NTAP - 1];
     rc_cplx phase;
     float alpha;
+    /* per-instance scratch (~130 KB): would overflow small worker-thread
+       stacks (musl defaults to 128 KB) if stack-local, and must not be
+       static (one instance per ro_bpf keeps multiple contexts re-entrant) */
+    rc_cplx ext[RO_BPF_NTAP - 1 + RO_BPF_MAXBLOCK];
+    rc_cplx phases[RO_BPF_MAXBLOCK];
 } ro_bpf;
 
 void ro_bpf_init(ro_bpf *b, float Fs, float bandwidth, float centre);

@@ -20,6 +20,17 @@ Design principles (TPU-first, not a port):
     compiled graphs; device kernels have static shapes.
 """
 
+import os as _os
+
+if _os.environ.get("RADAE_PLATFORM"):
+    # Force the jax platform (e.g. RADAE_PLATFORM=cpu to run the CLI apps
+    # host-side while a TPU is busy).  The env var JAX_PLATFORMS alone is
+    # not reliable here: site customisation may import jax at interpreter
+    # startup with its own platform pinned, so set the config explicitly.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["RADAE_PLATFORM"])
+
 from .config import RADAEConfig, BBFMConfig
 from .models.core import (
     CoreEncoder,

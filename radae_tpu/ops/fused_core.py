@@ -333,6 +333,15 @@ def make_fused_rx_frame_step(cfg, batch: int, tile: int = 512,
 
     def step(weights, rx_packed, *state):
         B = rx_packed.shape[0]
+        if B != batch:
+            raise ValueError(
+                f"fused rx step was built for batch={batch} (grid/BlockSpecs"
+                f" are baked in at factory time) but got rx batch {B}")
+        for s in state:
+            if s.shape[0] != batch:
+                raise ValueError(
+                    f"fused rx step built for batch={batch} but got state "
+                    f"leading dim {s.shape[0]}")
         rx = rx_packed.reshape(B, n_rs, samp, 2)
         rxr = rx[..., 0]
         rxi = rx[..., 1]

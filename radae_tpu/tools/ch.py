@@ -49,6 +49,23 @@ def apply_ch(x: np.ndarray, No_dB: float, Fs: float = 8000,
     return y, CNo_dB_meas
 
 
+def analog_compressor(pcm: np.ndarray, gain_dB: float = 6.0,
+                      Fs: float = 8000.0, clip: float = 16384.0):
+    """Hilbert-clipper SSB speech compressor (reference: utils.sh
+    analog_compressor, built from codec2 ch's compressor + clipper +
+    SSB filter chain).  Band-limit 300-2600 Hz, hard-limit the analytic
+    envelope after gain_dB of drive, band-limit again to remove clipping
+    splatter.  Input/output: real speech samples at Fs, int16 scale."""
+    from scipy.signal import firwin, hilbert, lfilter
+
+    h = firwin(101, [300.0 / (Fs / 2), 2600.0 / (Fs / 2)], pass_zero=False)
+    x = lfilter(h, 1.0, np.asarray(pcm, np.float32))
+    a = hilbert(x) * 10.0 ** (gain_dB / 20.0)
+    env = np.abs(a) + 1e-9
+    a = np.where(env > clip, a / env * clip, a)
+    return lfilter(h, 1.0, a.real).astype(np.float32)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="channel tool: fading + calibrated AWGN on IQ.f32")

@@ -176,6 +176,108 @@ def run_sweep(model, params, feats_seq, channels, EbNodB_list, reps=2,
     return {k: float(np.mean(v)) for k, v in table.items()}
 
 
+def write_audio_cells(model, params, feats_seq, channels, EbNodB_list,
+                      outdir, seed=0, name="sample"):
+    """A/B listening material per sweep cell (reference: evaluate.sh).
+
+    For each (channel, EbNo) cell, writes next to each other:
+      <name>_<E>dB_<ch>.wav      decoded RADAE audio at that operating point
+      <name>_<E>dB_<ch>_ssb.wav  the SSB comparison: compressed speech +
+                                 calibrated noise at the SAME C/No as the
+                                 RADAE signal (via tools/ch, the independent
+                                 channel/measurement path)
+      <name>_<E>dB_<ch>_zREADME.txt  measured Eb/No / C/No / SNR3k / PAPR
+    plus once: zz_<name>_orig.wav (clean vocoder reference) and
+    zz_<name>_ssb.wav (compressed clean SSB tx signal).
+    """
+    import os
+    import wave
+
+    import jax
+
+    from ..vocoder import get_vocoder, SPEECH_FS
+    from .ch import analog_compressor, apply_ch
+
+    os.makedirs(outdir, exist_ok=True)
+    cfg = model.cfg
+    voc = get_vocoder()
+    rng = np.random.default_rng(seed)
+
+    def write_wav(path, pcm, fs):
+        pcm = np.clip(np.asarray(pcm, np.float32), -32767, 32767)
+        with wave.open(path, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(int(fs))
+            w.writeframes(pcm.astype(np.int16).tobytes())
+
+    # clean references, written once
+    clean16k = np.asarray(voc.synthesize(feats_seq[:, :20]), np.float32)
+    write_wav(os.path.join(outdir, f"zz_{name}_orig.wav"), clean16k,
+              SPEECH_FS)
+    # SSB path runs at the modem rate (8 kHz): decimate by 2 post-LPF
+    from scipy.signal import decimate
+    clean8k = decimate(clean16k, int(SPEECH_FS // 8000)).astype(np.float32)
+    ssb_tx = analog_compressor(clean8k)
+    write_wav(os.path.join(outdir, f"zz_{name}_ssb.wav"), ssb_tx, 8000)
+
+    T = feats_seq.shape[0]
+    n_rs = cfg.num_timesteps_at_rate_Rs(T)
+    n_fs = cfg.num_timesteps_at_rate_Fs(n_rs)
+    fwd = jax.jit(lambda p, f, h, g, k, e:
+                  model.forward(p, f, h, g, key=k, EbNodB=e))
+    written = []
+    for ch in channels:
+        for e in EbNodB_list:
+            H = model.default_H(1, n_rs)
+            G = model.default_G(1, n_fs)
+            if ch != "awgn":
+                _, Gs, hf_gain = multipath_samples(
+                    ch, cfg.Fs, cfg.Rs_dash, cfg.Nc, n_fs / cfg.Fs + 1,
+                    rng=rng)
+                G = cplx.pack_np((hf_gain * Gs[:n_fs])[None])
+            out = fwd(params, feats_seq[None], H, G,
+                      np.array([0, seed], np.uint32),
+                      np.full((1,), e, np.float32))
+            fh = np.asarray(out["features_hat"])[0]
+            base = os.path.join(outdir, f"{name}_{e:g}dB_{ch}")
+            write_wav(base + ".wav", voc.synthesize(fh[:, :20]), SPEECH_FS)
+
+            # measured RADAE operating point (tools/inference.py printout)
+            tx = cplx.to_c64(out["tx"])
+            sigma = float(np.asarray(out["sigma"]).flatten()[0])
+            S = float(np.mean(np.abs(tx) ** 2))
+            CNodB = 10 * np.log10(S * cfg.Fs / sigma ** 2)
+            EbNodB_meas = CNodB + 10 * np.log10(
+                cfg.M / (cfg.Fs * cfg.Nc * cfg.bps))
+            SNRdB = CNodB - 10 * np.log10(3000.0)
+            PAPRdB = 20 * np.log10(np.max(np.abs(tx)) / np.sqrt(S))
+
+            # SSB at the SAME C/No: fade first, then calibrate the noise
+            # density from the post-fade power (reference: evaluate.sh
+            # measures RMS with --after_fade) via the independent ch path
+            ssb_sig = ssb_tx.astype(np.complex64)
+            if ch != "awgn":
+                from ..channel.doppler import fade_two_path
+                ssb_sig = fade_two_path(ssb_sig, ch, 8000, rng=rng,
+                                        normalize=False)
+            C_ssb = float(np.mean(np.abs(ssb_sig) ** 2))
+            No_dB = 10 * np.log10(max(C_ssb, 1e-12)) - CNodB
+            ssb_rx, CNo_meas = apply_ch(ssb_sig, No_dB, Fs=8000, rng=rng)
+            ssb_rx = ssb_rx.real
+            peak = np.abs(ssb_rx).max() + 1e-9
+            write_wav(base + "_ssb.wav", ssb_rx / peak * 16384, 8000)
+
+            with open(base + "_zREADME.txt", "w") as f:
+                f.write("Waveform           EbNo  PAPR  C/No  SNR3k\n")
+                f.write(f"Radio Autoencoder: {EbNodB_meas:5.2f} {PAPRdB:5.2f}"
+                        f" {CNodB:5.2f} {SNRdB:5.2f}\n")
+                f.write(f"SSB..............:   n/a   n/a {CNo_meas:5.2f}"
+                        f" {CNo_meas - 10 * np.log10(3000.0):5.2f}\n")
+            written.append(base)
+    return written
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("model_name", type=str)
@@ -196,6 +298,11 @@ def main(argv=None):
                    help="explicit per-device programs + psum reduction "
                         "(requires a mesh) instead of jit-propagated "
                         "shardings")
+    p.add_argument("--audio", type=str, default="",
+                   help="also write per-cell A/B listening audio to this "
+                        "directory: decoded RADAE wav + matched-C/No SSB "
+                        "comparison wav + measured-numbers README "
+                        "(reference: evaluate.sh)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     if args.ber and args.shard_map:
@@ -253,6 +360,14 @@ def main(argv=None):
     if args.json:
         with open(args.json, "w") as fj:
             json.dump({f"{ch}@{e}": v for (ch, e), v in table.items()}, fj)
+    if args.audio:
+        import os
+        name = os.path.splitext(os.path.basename(args.features))[0]
+        written = write_audio_cells(model, params, feats_seq, channels,
+                                    ebnos, args.audio, seed=args.seed,
+                                    name=name)
+        print(f"audio: {len(written)} cell pairs in {args.audio}",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -11,9 +11,11 @@ drop back to search during the gap, and re-acquire the next over.
 
 Hardware hooks: ``--ptt-on-cmd`` / ``--ptt-off-cmd`` run an arbitrary
 shell command at each PTT edge (e.g. ``rigctl -m MODEL -r PORT T 1``),
-and ``--rig-out FILE`` writes the assembled session IQ to a file for an
-external radio path instead of the built-in channel simulator — the two
-pieces ptt_test.sh gets from hamlib + aplay.
+and ``--rig-out FILE`` writes the session IQ for an external radio path.
+PTT edges fire while each over's IQ is actually being written (key down
+just before the over's samples go out, key up just after; ``--pace``
+makes the writes track wall-clock for a fifo into an audio player) — the
+two pieces ptt_test.sh gets from hamlib + aplay.
 
 Exit code 0 iff every over acquired, decoded, and ended with an EOO.
 """
@@ -21,6 +23,7 @@ Exit code 0 iff every over acquired, decoded, and ended with an EOO.
 from __future__ import annotations
 
 import argparse
+import os
 import subprocess
 import sys
 
@@ -33,12 +36,12 @@ from ..convert import load_checkpoint
 def run_session(params, feats_rows: np.ndarray, n_overs: int = 2,
                 over_secs: float = 6.0, gap_secs: float = 2.0,
                 channel: str | None = None, snrdB: float | None = None,
-                auxdata: bool = True, seed: int = 0,
-                ptt_hook=None, v: int = 0):
-    """Run the multi-over protocol; returns (reports, session_iq).
+                auxdata: bool = True, seed: int = 0, v: int = 0):
+    """Run the multi-over protocol; returns (reports, session_iq, marks).
 
     reports: one dict per over with keys acquired, acq_frame, eoo,
-    frames_decoded, unsynced_after.
+    frames_decoded, unsynced_after.  marks: (start, end) sample index of
+    each over in session_iq (for emit_session's PTT keying).
     """
     from ..apps.txe import RadaeTx
     from ..apps.rxe import RadaeRx
@@ -55,15 +58,11 @@ def run_session(params, feats_rows: np.ndarray, n_overs: int = 2,
     pieces, marks = [gap.copy()], []
     pos = len(gap)
     for _ in range(n_overs):
-        if ptt_hook:
-            ptt_hook(True)
         frames = [tx.do_radae_tx(
             feats_rows[(i * rows_per_frame) % nrows:
                        (i * rows_per_frame) % nrows + rows_per_frame]
             .flatten()) for i in range(frames_per_over)]
         over = np.concatenate(frames + [tx.do_eoo()])
-        if ptt_hook:
-            ptt_hook(False)
         marks.append((pos, pos + len(over)))
         pieces += [over, gap.copy()]
         pos += len(over) + len(gap)
@@ -109,7 +108,35 @@ def run_session(params, feats_rows: np.ndarray, n_overs: int = 2,
             reports[i]["unsynced_after"] = True
         ptr += nin
         frame += 1
-    return reports, session
+    return reports, session, marks
+
+
+def emit_session(session: np.ndarray, marks, out_file: str,
+                 ptt_hook=None, pace: bool = False, fs: int = 8000):
+    """Write the session IQ, keying PTT around each over's samples AS THEY
+    ARE WRITTEN — the rig is keyed exactly while its IQ is going out (the
+    piece ptt_test.sh gets from hamlib + aplay), not during synthesis.
+    With pace=True, writes track wall-clock so an external player consuming
+    out_file (e.g. a fifo into aplay) stays aligned with the keying."""
+    import time
+
+    pos = 0
+    with open(out_file, "wb") as f:
+        for a, b in marks:
+            f.write(session[pos:a].astype(np.complex64).tobytes())
+            f.flush()
+            if pace:
+                time.sleep((a - pos) / fs)
+            if ptt_hook:
+                ptt_hook(True)
+            f.write(session[a:b].astype(np.complex64).tobytes())
+            f.flush()
+            if pace:
+                time.sleep((b - a) / fs)
+            if ptt_hook:
+                ptt_hook(False)
+            pos = b
+        f.write(session[pos:].astype(np.complex64).tobytes())
 
 
 def main(argv=None):
@@ -128,7 +155,12 @@ def main(argv=None):
     p.add_argument("--ptt-off-cmd", default="")
     p.add_argument("--rig-out", default="",
                    help="write session IQ (.f32 I/Q pairs) to FILE for an "
-                        "external radio path instead of gating on decode")
+                        "external radio path instead of gating on decode; "
+                        "PTT edges fire around each over's write")
+    p.add_argument("--pace", action="store_true",
+                   help="pace --rig-out writes at real time (use with a "
+                        "fifo into an audio player so PTT keying tracks "
+                        "playback)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("-v", type=int, default=0)
     args = p.parse_args(argv)
@@ -141,15 +173,17 @@ def main(argv=None):
         if cmd:
             subprocess.run(cmd, shell=True, check=False)
 
-    reports, session = run_session(
+    have_ptt = bool(args.ptt_on_cmd or args.ptt_off_cmd)
+    reports, session, marks = run_session(
         params, feats, n_overs=args.overs, over_secs=args.over_secs,
         gap_secs=args.gap_secs, channel=args.channel, snrdB=args.snrdB,
-        auxdata=args.auxdata, seed=args.seed,
-        ptt_hook=ptt_hook if (args.ptt_on_cmd or args.ptt_off_cmd) else None,
-        v=args.v)
+        auxdata=args.auxdata, seed=args.seed, v=args.v)
 
-    if args.rig_out:
-        session.astype(np.complex64).tofile(args.rig_out)
+    if args.rig_out or have_ptt:
+        # real radio path: PTT keys exactly while each over's IQ is written
+        emit_session(session, marks, args.rig_out or os.devnull,
+                     ptt_hook=ptt_hook if have_ptt else None,
+                     pace=args.pace)
     ok = True
     for i, r in enumerate(reports):
         status = "OK" if (r["acquired"] and r["eoo"]) else "FAIL"

@@ -34,6 +34,31 @@ FORM = b"""<!doctype html>
 """
 
 
+def _multipart_file(content_type: str, body: bytes):
+    """Return the first file part's payload from a multipart/form-data body,
+    or None.  Splits on the boundary declared in the Content-Type header."""
+    import email.message
+
+    msg = email.message.Message()
+    msg["Content-Type"] = content_type
+    if msg.get_content_type() != "multipart/form-data":
+        return None
+    boundary = msg.get_param("boundary")
+    if not boundary:
+        return None
+    delim = b"--" + boundary.encode("utf-8", "surrogateescape")
+    parts = body.split(delim)
+    # parts[0] = preamble, parts[-1] = b"--..." epilogue after final delim
+    for part in parts[1:-1]:
+        if part[:2] == b"\r\n":
+            part = part[2:]
+        head, sep, payload = part.partition(b"\r\n\r\n")
+        if sep and b"filename=" in head:
+            # the trailing CRLF belongs to the next delimiter line
+            return payload[:-2] if payload.endswith(b"\r\n") else payload
+    return None
+
+
 def make_handler(params, auxdata=True):
     import threading
 
@@ -64,14 +89,15 @@ def make_handler(params, auxdata=True):
                 return
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
-            # accept either raw wav bytes or a single multipart file field
+            # accept either raw wav bytes or a multipart/form-data upload;
+            # multipart is split on the declared boundary (RFC 2046), not on
+            # byte heuristics that could truncate PCM containing "\r\n--"
             if body[:4] != b"RIFF":
-                i = body.find(b"RIFF")
-                if i < 0:
+                body = _multipart_file(self.headers.get("Content-Type", ""),
+                                       body)
+                if body is None or body[:4] != b"RIFF":
                     self.send_error(400, "no wav payload found")
                     return
-                end = body.rfind(b"\r\n--")
-                body = body[i:end if end > i else len(body)]
             try:
                 with wave.open(io.BytesIO(body), "rb") as w:
                     assert w.getsampwidth() == 2

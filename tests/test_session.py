@@ -29,13 +29,17 @@ def test_ptt_loop_two_overs(flagship_params):
     """Two overs with a gap through AWGN at 3 dB: the single receiver
     instance acquires both, detects both EOOs, and drops sync in the gap
     (the console-station protocol, reference: ptt_test.sh)."""
-    from radae_tpu.tools.ptt_loop import run_session
+    from radae_tpu.tools.ptt_loop import run_session, emit_session
     feats = np.fromfile(FEATS, np.float32).reshape(-1, 36)
-    ptt_edges = []
-    reports, session = run_session(
+    reports, session, marks = run_session(
         flagship_params, feats, n_overs=2, over_secs=4.0, gap_secs=2.0,
-        snrdB=3.0, seed=1, ptt_hook=lambda on: ptt_edges.append(on))
-    assert ptt_edges == [True, False, True, False]
+        snrdB=3.0, seed=1)
+    # PTT keys exactly around each over's samples as the IQ is written
+    edges = []
+    emit_session(session, marks, os.devnull,
+                 ptt_hook=lambda on: edges.append(on))
+    assert edges == [True, False, True, False]
+    assert len(marks) == 2 and marks[0][1] <= marks[1][0]
     for i, r in enumerate(reports):
         assert r["acquired"], (i, reports)
         assert r["eoo"], (i, reports)
@@ -147,9 +151,9 @@ def test_ptt_loop_two_overs_mpp_fading(flagship_params):
     over (physics), but not on all."""
     from radae_tpu.tools.ptt_loop import run_session
     feats = np.fromfile(FEATS, np.float32).reshape(-1, 36)
-    reports, _ = run_session(flagship_params, feats, n_overs=2,
-                             over_secs=5.0, gap_secs=2.0,
-                             channel="mpp", snrdB=3.0, seed=1)
+    reports, _, _ = run_session(flagship_params, feats, n_overs=2,
+                                over_secs=5.0, gap_secs=2.0,
+                                channel="mpp", snrdB=3.0, seed=1)
     for i, r in enumerate(reports):
         assert r["acquired"], (i, reports)
         assert r["frames_decoded"] >= 25, (i, reports)

@@ -227,10 +227,53 @@ def test_plots_tool(tmp_path):
     zf = str(tmp_path / "z.f32"); z.tofile(zf)
     iq = (rng.standard_normal(8000) + 1j*rng.standard_normal(8000)).astype(np.complex64)
     qf = str(tmp_path / "iq.f32"); iq.tofile(qf)
-    for kind, src in (("scatter", zf), ("spectrum", qf), ("papr", qf)):
+    for kind, src in (("scatter", zf), ("scatter3d", zf), ("spectrum", qf),
+                      ("specgram", qf), ("papr", qf)):
         out = str(tmp_path / f"{kind}.png")
         plots_main([kind, src, "--out", out])
         assert os.path.getsize(out) > 1000
+
+    # multi-run comparison curves: loss-vs-EqNo, C/No conversion, BER
+    c1 = str(tmp_path / "run1.txt")
+    c2 = str(tmp_path / "run2.txt")
+    np.savetxt(c1, np.column_stack([np.arange(0, 10, 2.0),
+                                    0.3 - 0.02 * np.arange(5)]))
+    np.savetxt(c2, np.column_stack([np.arange(0, 10, 2.0),
+                                    0.35 - 0.02 * np.arange(5)]))
+    for kind in ("loss_eqno", "loss_cno", "ber"):
+        out = str(tmp_path / f"{kind}.png")
+        plots_main([kind, c1, "model_a", c2, "model_b", "--out", out])
+        assert os.path.getsize(out) > 1000
+
+
+def test_evaluate_audio_cells(tmp_path):
+    """--audio writes, per sweep cell, a decoded RADAE wav paired with a
+    matched-C/No SSB comparison wav plus a measured-numbers README
+    (reference: evaluate.sh A/B listening output)."""
+    import wave
+    from radae_tpu.tools.evaluate import main as eval_main
+    fin = str(tmp_path / "f.f32")
+    make_feature_file(fin, nframes=48)
+    adir = str(tmp_path / "audio")
+    eval_main(["random", fin, "--channels", "awgn,mpp", "--EbNodB", "6",
+               "--reps", "1", "--seconds", "0.48", "--n_devices", "1",
+               "--audio", adir])
+    for cell in ("f_6dB_awgn", "f_6dB_mpp"):
+        for suffix, fs in ((".wav", 16000), ("_ssb.wav", 8000)):
+            path = os.path.join(adir, cell + suffix)
+            with wave.open(path, "rb") as w:
+                assert w.getframerate() == fs, path
+                assert w.getnframes() > 1000, path
+        txt = open(os.path.join(adir, cell + "_zREADME.txt")).read()
+        assert "Radio Autoencoder" in txt and "SSB" in txt
+        # RADAE and SSB C/No are matched by construction: parse + compare
+        lines = txt.splitlines()
+        cno_radae = float(lines[1].split()[-2])
+        cno_ssb = float(lines[2].split()[-2])
+        assert abs(cno_radae - cno_ssb) < 1.0, txt
+    # clean references written once
+    assert os.path.exists(os.path.join(adir, "zz_f_orig.wav"))
+    assert os.path.exists(os.path.join(adir, "zz_f_ssb.wav"))
 
 
 def test_evaluate_ber_curve(tmp_path, capsys):
