@@ -348,13 +348,45 @@ def load_params(path):
     return params
 
 
+def envelope_correct(y: np.ndarray, feats: np.ndarray,
+                     voc: MelVocoder | None = None) -> np.ndarray:
+    """Spectral-envelope post-filter: per-frame band-gain correction of a
+    rendered waveform toward the band energies encoded in the cepstral
+    features (overlap-add, same filterbank inversion the classical
+    synthesis uses).  The neural render contributes the excitation/phase
+    structure; this pins its coarse spectrum to the transmitted envelope.
+    Measured on the held-out speaker pair it lifts fwSegSNR from ~4-8 dB
+    (raw render) to ~17 dB, above the classical MelVocoder's ~13-16 dB
+    (tests/test_vocoder_nn.py::test_fwsegsnr_holdout_regression)."""
+    if voc is None:
+        voc = MelVocoder()
+    from .vocoder import NFFT
+
+    y = np.asarray(y, np.float32)
+    T = min(feats.shape[0], len(y) // FRAME - 1)
+    win = voc.win
+    out = np.zeros(len(y), np.float32)
+    wsum = np.zeros(len(y), np.float32)
+    for t in range(T):
+        seg = y[t * FRAME:(t + 2) * FRAME] * win
+        E = np.fft.rfft(seg, NFFT)
+        eband = voc.fb @ (np.abs(E) ** 2) + 1e-10
+        band = 10 ** (voc.idct @ feats[t, :NCEPS])
+        gain_bin = voc.fb.T @ np.sqrt(band / eband) / (voc.fb.sum(0) + 1e-6)
+        z = np.fft.irfft(E * gain_bin, NFFT)[:2 * FRAME]
+        out[t * FRAME:(t + 2) * FRAME] += z * win
+        wsum[t * FRAME:(t + 2) * FRAME] += win ** 2
+    return out / np.maximum(wsum, 1e-6)
+
+
 class NeuralVocoder:
     """MelVocoder analysis + trained parallel neural synthesis (36-float
     frame contract, like FARGANVocoder)."""
 
-    def __init__(self, weights_path: str):
+    def __init__(self, weights_path: str, env_correct: bool = True):
         self.params = load_params(weights_path)
         self.analysis = MelVocoder()
+        self.env_correct = env_correct
         self._synth = jax.jit(synth)
 
     def extract(self, pcm: np.ndarray) -> np.ndarray:
@@ -367,6 +399,12 @@ class NeuralVocoder:
         nz = rng.standard_normal((1, S)).astype(np.float32)
         y = np.asarray(self._synth(self.params, jnp.asarray(f),
                                    jnp.asarray(nz)))[0]
+        if self.env_correct:
+            # the post-filter pins absolute band energies to the features
+            # (in the analysis' /32768 units): keep that exact gain so the
+            # cepstral c0 round-trips, just undo the analysis scaling
+            y = envelope_correct(y, f[0], self.analysis)
+            return np.clip(y * 32768.0, -32767, 32767).astype(np.int16)
         peak = np.abs(y).max() + 1e-9
         return (y / max(peak / 0.7, 1.0) * 32767 * 0.9).astype(np.int16)
 

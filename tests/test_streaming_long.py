@@ -63,6 +63,21 @@ def long_stream(flagship):
     return _tx_long(params, feats, NFRAMES_50S)
 
 
+@pytest.fixture(scope="module")
+def clean_loss(flagship, long_stream):
+    """Feature loss of the model's own CLEAN streaming decode of the same
+    50 s stream — the baseline of the relative-loss contract.  The
+    reference gates absolute loss <= 0.15 clean and <= 0.3/0.35 at
+    threshold SNR (CMakeLists.txt:263,313-360), i.e. a noise-induced
+    degradation budget of ~0.15/0.2; our corpus-limited fixture can't meet
+    the absolute numbers (RESULTS.md) but must meet the same *budget*."""
+    params, feats, meta = flagship
+    stream, ref = long_stream
+    segs, ev = _rx_long(params, stream)
+    assert ev["n_valid"] >= 0.95 * NFRAMES_50S, ev
+    return _loss_segments(ref, segs)
+
+
 def _rx_long(params, stream, Nmf=960, **kw):
     """Run the streaming receiver; returns (segments, events) where
     segments = [(rx_frame_index, decoded_rows)] per valid frame."""
@@ -148,17 +163,22 @@ def _add_noise_at_snr(stream, snrdB, rng, Fs=8000, B=3000):
     return (stream + n).astype(np.complex64)
 
 
-@pytest.mark.parametrize("channel,snrdB", [
-    (None, -3.0),          # AWGN at the reference threshold (README.md:435)
-    ("mpp", 0.0),          # README.md:437
-    ("mpg", 0.0),          # CMakeLists.txt:341-347
-    ("mpd", 3.0),          # worst case, CMakeLists.txt:352-359
+@pytest.mark.parametrize("channel,snrdB,budget", [
+    # noise-induced loss budget = reference threshold gate - clean gate
+    # (CMakeLists.txt: clean <=0.15; awgn/mpg <=0.3; mpp/mpd <=0.35)
+    (None, -3.0, 0.15),    # AWGN at the reference threshold (README.md:435)
+    ("mpp", 0.0, 0.20),    # README.md:437
+    ("mpg", 0.0, 0.15),    # CMakeLists.txt:341-347
+    ("mpd", 3.0, 0.20),    # worst case, CMakeLists.txt:352-359
 ])
-def test_streaming_50s_threshold_snr(flagship, long_stream, channel, snrdB):
+def test_streaming_50s_threshold_snr(flagship, long_stream, clean_loss,
+                                     channel, snrdB, budget):
     """50 s at the reference threshold SNR, 1 s of noise-only lead-in
     (the reference tests prepend noise, CMakeLists.txt:313-360): acquire,
-    recover from any false lock, decode the large majority of the over
-    with bounded per-segment feature loss."""
+    recover from any false lock, decode the large majority of the over,
+    and stay within the reference's noise-degradation budget RELATIVE to
+    the same model's clean streaming decode (the corpus-independent form
+    of the reference's absolute loss <=0.3/0.35 contract)."""
     params, feats, meta = flagship
     stream, ref = long_stream
     rng = np.random.default_rng(3)
@@ -168,13 +188,12 @@ def test_streaming_50s_threshold_snr(flagship, long_stream, channel, snrdB):
     segs, ev = _rx_long(params, noisy)
     frac = 0.90 if channel is None else 0.70
     assert ev["n_valid"] >= frac * NFRAMES_50S, ev
-    train_loss = float(meta.get("loss", 0.35))
     loss = _loss_segments(ref, segs)
-    assert loss < train_loss + 0.45, (loss, train_loss, channel, snrdB)
+    assert loss < clean_loss + budget, (loss, clean_loss, channel, snrdB)
 
 
 @pytest.mark.parametrize("ppm,prepad", [(200, 0), (-200, 476)])
-def test_clock_offset_200ppm_real_slip(flagship, ppm, prepad):
+def test_clock_offset_200ppm_real_slip(flagship, clean_loss, ppm, prepad):
     """105 s at exactly +-200 ppm (the README tolerance, README.md:452):
     the accumulated drift is 168 samples > M=160, so the nin slip engages
     in-stream; sync must hold across the slip with no unsync.  The slip
@@ -193,9 +212,10 @@ def test_clock_offset_200ppm_real_slip(flagship, ppm, prepad):
     assert ev["slips"] >= 1, ev          # a REAL 200 ppm slip happened
     assert ev["unsync"] == 0, ev         # sync held across it
     assert ev["n_valid"] >= nframes - 16, ev
-    train_loss = float(meta.get("loss", 0.35))
     loss = _loss_segments(ref, segs)
-    assert loss < train_loss + 0.2, (loss, train_loss)
+    # reference clock-offset gate is 0.2 vs 0.15 clean (CMakeLists.txt:395,
+    # 416): a 0.05 budget over the model's own clean decode
+    assert loss < clean_loss + 0.05, (loss, clean_loss, ppm)
 
 
 def test_cp_guard_corrects_pilot_spacing_alias(flagship):
