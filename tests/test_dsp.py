@@ -206,6 +206,43 @@ def test_batched_acquisition_op_matches_numpy(cfg, acq):
             assert abs(float(fmax[b]) - ref_f) < 1e-4, b
 
 
+def test_batched_acquisition_shard_count_invariance(cfg):
+    """The batched acquisition op's per-stream results must not depend on
+    how the batch is sharded over the mesh (1 device vs all 8): each row
+    is an independent stream, so sharding is pure data parallelism."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from radae_tpu.ops.acquisition_op import make_detect_pilots
+    from radae_tpu.ops import cplx
+    from radae_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(3)
+    B = 8
+    buflen = 2 * cfg.Nmf + cfg.M + cfg.Ncp
+    streams = []
+    for b in range(B):
+        if b % 2 == 0:
+            streams.append(make_pilot_stream(
+                cfg, 100 + 97 * b, freq_hz=5.0 * b - 15,
+                rng=np.random.default_rng(b))[:buflen])
+        else:
+            streams.append(((rng.standard_normal(buflen)
+                             + 1j * rng.standard_normal(buflen))
+                            / np.sqrt(2)).astype(np.complex64))
+    batchd = cplx.pack_np(np.stack(streams))
+    detect = make_detect_pilots(cfg, B)
+
+    out_1dev = detect(batchd)
+    mesh = make_mesh(8)
+    with mesh:
+        sharded = jax.device_put(batchd, NamedSharding(mesh, P("dp")))
+        out_8dev = detect(sharded)
+    names = ("candidate", "tmax", "fmax", "Dthresh", "Dtmax")
+    for name, a, b in zip(names, out_1dev, out_8dev):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+
 def test_receiver_snr_estimator_calibration(cfg):
     """snrdB_3k_est tracks true SNR within 1 dB over the operating range
     (the reference's m/c straight-line corrected estimator, dsp.py:437-456)."""
