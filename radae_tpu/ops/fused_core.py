@@ -226,7 +226,8 @@ def fused_rx_weights(params, cfg, dtype=jnp.float32):
 
 def make_fused_rx_frame_step(cfg, batch: int, tile: int = 512,
                              interpret: bool = False,
-                             compute_dtype=jnp.float32):
+                             compute_dtype=jnp.float32,
+                             rx_dma: bool = False):
     """The ENTIRE streaming rx frame as ONE Pallas program: OFDM demod
     (CP strip + DFT), LS pilot EQ, coarse magnitude, QPSK demap, and the
     full 3-z-step recurrent decoder — weights and demod matrices VMEM-
@@ -236,7 +237,15 @@ def make_fused_rx_frame_step(cfg, batch: int, tile: int = 512,
     step(weights, rx_packed (B, (Ns+2)(M+Ncp), 2), *state)
       -> (features (B, 12, F), *state)
     weights = fused_rx_weights(params, cfg).
-    """
+
+    rx_dma=True keeps the raw sample block in ANY/HBM and manually DMAs
+    per-symbol (tile, M+Ncp) rows into a double-buffered VMEM scratch
+    (pltpu.make_async_copy), overlapping sample fetch with the demod
+    matmuls.  This removes the (tile, Ns+2, M+Ncp) x2 rx block — the
+    largest VMEM tenant, ~12.6 MB with pipelining double-buffering at
+    tile=512 — from the grid pipeline entirely (~1.6 MB of scratch
+    instead), which is what capped the whole-frame kernel's Mosaic
+    compile at B~1536 in round 2 (VERDICT r2 next-step #2)."""
     assert batch % tile == 0
     n_tiles = batch // tile
     M, Ncp, Nc, Ns = cfg.M, cfg.Ncp, cfg.Nc, cfg.Ns
@@ -256,6 +265,9 @@ def make_fused_rx_frame_step(cfg, batch: int, tile: int = 512,
     cd = compute_dtype
 
     def kernel(rxr_ref, rxi_ref, *refs):
+        if rx_dma:
+            sr, si, sem = refs[-3:]
+            refs = refs[:-3]
         dem = refs[:ND]
         w = refs[ND:ND + NW]
         state_in = refs[ND + NW:ND + NW + 10]
@@ -272,10 +284,33 @@ def make_fused_rx_frame_step(cfg, batch: int, tile: int = 512,
         # tried and is numerically identical, but the leading-dim merge of
         # a 3-D VMEM block does not lower through Mosaic on this backend.)
         Yr, Yi = [], []
-        for s in range(n_rs):
-            xr, xi = rxr_ref[:, s, :], rxi_ref[:, s, :]
-            Yr.append(dot(xr, Wr) - dot(xi, Wi))
-            Yi.append(dot(xr, Wi) + dot(xi, Wr))
+        if rx_dma:
+            # rx stays in HBM; double-buffered row DMA overlapped with the
+            # previous row's demod matmuls
+            row0 = pl.program_id(0) * tile
+
+            def dma(s, slot, hbm, scratch, col):
+                return pltpu.make_async_copy(
+                    hbm.at[pl.ds(row0, tile), s], scratch.at[slot],
+                    sem.at[col, slot])
+
+            dma(0, 0, rxr_ref, sr, 0).start()
+            dma(0, 0, rxi_ref, si, 1).start()
+            for s in range(n_rs):
+                slot = s % 2
+                if s + 1 < n_rs:
+                    dma(s + 1, 1 - slot, rxr_ref, sr, 0).start()
+                    dma(s + 1, 1 - slot, rxi_ref, si, 1).start()
+                dma(s, slot, rxr_ref, sr, 0).wait()
+                dma(s, slot, rxi_ref, si, 1).wait()
+                xr, xi = sr[slot], si[slot]
+                Yr.append(dot(xr, Wr) - dot(xi, Wi))
+                Yi.append(dot(xr, Wi) + dot(xi, Wr))
+        else:
+            for s in range(n_rs):
+                xr, xi = rxr_ref[:, s, :], rxi_ref[:, s, :]
+                Yr.append(dot(xr, Wr) - dot(xi, Wi))
+                Yi.append(dot(xr, Wi) + dot(xi, Wr))
 
         # LS pilot channel estimates from the frame's two pilot rows
         hp0r = dot(Yr[0], Er) - dot(Yi[0], Ei)
@@ -345,8 +380,12 @@ def make_fused_rx_frame_step(cfg, batch: int, tile: int = 512,
         rx = rx_packed.reshape(B, n_rs, samp, 2)
         rxr = rx[..., 0]
         rxi = rx[..., 1]
-        in_specs = [pl.BlockSpec((tile, n_rs, samp), lambda b: (b, 0, 0),
-                                 memory_space=pltpu.VMEM)] * 2
+        if rx_dma:
+            # full arrays stay in ANY/HBM; the kernel DMAs rows itself
+            in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        else:
+            in_specs = [pl.BlockSpec((tile, n_rs, samp), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM)] * 2
         in_specs += [pl.BlockSpec(w.shape,
                                   lambda b, nd=w.ndim: (0,) * nd,
                                   memory_space=pltpu.VMEM)
@@ -365,12 +404,18 @@ def make_fused_rx_frame_step(cfg, batch: int, tile: int = 512,
                                      lambda b, nd=s.ndim: (b,) + (0,) * (nd - 1),
                                      memory_space=pltpu.VMEM)
                         for s in state])
+        scratch = []
+        if rx_dma:
+            scratch = [pltpu.VMEM((2, tile, samp), jnp.float32),
+                       pltpu.VMEM((2, tile, samp), jnp.float32),
+                       pltpu.SemaphoreType.DMA((2, 2))]
         res = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shapes,
+            scratch_shapes=scratch,
             interpret=interpret,
         )(rxr, rxi, *weights, *state)
         feats, new_state = res[0], res[1:]

@@ -84,6 +84,36 @@ def test_fused_rx_frame_step_matches_unfused():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_fused_rx_frame_step_dma_matches_unfused():
+    """The rx_dma variant (raw sample block in ANY/HBM, double-buffered
+    per-row DMA into VMEM scratch) computes the same frame as the op-by-op
+    step — multi-tile grid included, since each program DMAs its own row
+    range."""
+    from radae_tpu.config import flagship_config
+    from radae_tpu.runtime import make_streaming_rx_step
+    from radae_tpu.ops.fused_core import (
+        make_fused_rx_frame_step, fused_rx_weights, decoder_state_zero)
+
+    cfg = flagship_config()
+    dec = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
+    params = dec.init(0)
+    B = 8
+    rng = np.random.default_rng(4)
+
+    step_x = make_streaming_rx_step(cfg, dec, B, fused=False)
+    step_d = make_fused_rx_frame_step(cfg, B, tile=4, interpret=True,
+                                      rx_dma=True)
+    w = fused_rx_weights(params, cfg)
+    st_x, st_d = None, decoder_state_zero(B)
+    for _ in range(2):
+        rx = rng.standard_normal(
+            (B, cfg.Nmf + cfg.M + cfg.Ncp, 2)).astype(np.float32) * 0.5
+        f_x, st_x = step_x(params, rx, st_x)
+        f_d, st_d = step_d(w, rx, *st_d)
+        np.testing.assert_allclose(np.asarray(f_d), np.asarray(f_x),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_fused_encoder_parity_and_state():
     from radae_tpu.models.core import CoreEncoder
     from radae_tpu.ops.fused_core import (
