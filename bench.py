@@ -92,17 +92,31 @@ def run_bench(batch: int, n_frames: int = 5, fused: bool = True,
     n_samp = (cfg.Ns + 2) * (cfg.M + cfg.Ncp)
     rx = (rng.standard_normal((batch, n_samp, 2)) * 0.5).astype(np.float32)
 
-    rx_step = make_streaming_rx_step(cfg, decoder, batch, fused=fused,
-                                     fused_tile=tile)
-    if fused:
-        from radae_tpu.ops.fused_core import (decoder_weights,
+    # fused: False = plain XLA; True = composite (XLA demod + fused
+    # decoder kernel); "frame" = whole-frame kernel with manual rx DMA
+    # (demod+EQ+demap+decoder in ONE Pallas program, rx block in HBM)
+    if fused == "frame":
+        from radae_tpu.ops.fused_core import (make_fused_rx_frame_step,
+                                              fused_rx_weights,
                                               decoder_state_zero)
+        frame_step = make_fused_rx_frame_step(cfg, batch, tile=tile,
+                                              rx_dma=True)
+        rx_step = lambda p, r, st: frame_step(p, r, *st)
         dec_params = tuple(jax.device_put(w)
-                           for w in decoder_weights(dec_params_tree))
+                           for w in fused_rx_weights(dec_params_tree, cfg))
         mkstate = lambda: decoder_state_zero(batch)
     else:
-        dec_params = device_put_tree(dec_params_tree)
-        mkstate = lambda: decoder.zero_state(batch)
+        rx_step = make_streaming_rx_step(cfg, decoder, batch, fused=fused,
+                                         fused_tile=tile)
+        if fused:
+            from radae_tpu.ops.fused_core import (decoder_weights,
+                                                  decoder_state_zero)
+            dec_params = tuple(jax.device_put(w)
+                               for w in decoder_weights(dec_params_tree))
+            mkstate = lambda: decoder_state_zero(batch)
+        else:
+            dec_params = device_put_tree(dec_params_tree)
+            mkstate = lambda: decoder.zero_state(batch)
     rx = jax.device_put(rx)
 
     if scan > 1:

@@ -46,7 +46,7 @@ def make_optimizer(lr: float, lr_decay_factor: float):
 
 def make_train_step(model, lr: float = 3e-4, lr_decay_factor: float = 2.5e-5,
                     mesh=None, aux_ber: bool = False,
-                    aux_weight_boost: float = 1.0):
+                    aux_weight_boost: float = 1.0, remat: bool = False):
     """Build (init_state, train_step).
 
     train_step(state, features, H, G, key) -> (state, metrics)
@@ -54,15 +54,21 @@ def make_train_step(model, lr: float = 3e-4, lr_decay_factor: float = 2.5e-5,
 
     With a mesh, inputs are expected batch-sharded on axis "dp" and params
     replicated; without, it is a plain single-device jit.
+
+    remat=True rematerialises the forward during the backward pass
+    (jax.checkpoint): ~+1 forward of FLOPs for ~no stored residuals,
+    raising the max batch per chip — worth it when the step is
+    HBM-capacity-bound, not when it is recurrence-latency-bound.
     """
     opt = make_optimizer(lr, lr_decay_factor)
+    forward = jax.checkpoint(model.forward) if remat else model.forward
 
     def init_state(params) -> TrainState:
         return TrainState(params=params, opt_state=opt.init(params),
                           step=jnp.zeros((), jnp.int32))
 
     def loss_fn(params, features, H, G, key):
-        out = model.forward(params, features, H, G, key=key)
+        out = forward(params, features, H, G, key=key)
         loss = distortion_loss(features, out["features_hat"]).mean()
         aux = None
         if aux_ber:
@@ -92,8 +98,10 @@ def make_train_step(model, lr: float = 3e-4, lr_decay_factor: float = 2.5e-5,
     # batch inputs arrive already placed with a NamedSharding (via
     # parallel.mesh.shard_batch); jit propagates those input shardings, so
     # no explicit in_shardings needed (and H/G may be None for in-graph
-    # benign channels)
-    train_step = jax.jit(train_step)
+    # benign channels).  The state is donated: params + Adam moments
+    # (~3x params) update in place instead of allocating fresh buffers
+    # every step (callers always rebind `state` to the returned one).
+    train_step = jax.jit(train_step, donate_argnums=(0,))
     return init_state, train_step
 
 
