@@ -241,7 +241,12 @@ def write_audio_cells(model, params, feats_seq, channels, EbNodB_list,
                       np.full((1,), e, np.float32))
             fh = np.asarray(out["features_hat"])[0]
             base = os.path.join(outdir, f"{name}_{e:g}dB_{ch}")
-            write_wav(base + ".wav", voc.synthesize(fh[:, :20]), SPEECH_FS)
+            decoded = np.asarray(voc.synthesize(fh[:, :20]), np.float32)
+            write_wav(base + ".wav", decoded, SPEECH_FS)
+            # end-to-end listening proxy: fwSegSNR of the decoded audio
+            # against the clean vocoder reference (utils/quality.py)
+            from ..utils.quality import fwsegsnr_aligned
+            q_e2e = fwsegsnr_aligned(clean16k, decoded, fs=SPEECH_FS)
 
             # measured RADAE operating point (tools/inference.py printout)
             tx = cplx.to_c64(out["tx"])
@@ -274,6 +279,8 @@ def write_audio_cells(model, params, feats_seq, channels, EbNodB_list,
                         f" {CNodB:5.2f} {SNRdB:5.2f}\n")
                 f.write(f"SSB..............:   n/a   n/a {CNo_meas:5.2f}"
                         f" {CNo_meas - 10 * np.log10(3000.0):5.2f}\n")
+                f.write(f"RADAE decoded-audio fwSegSNR vs clean reference: "
+                        f"{q_e2e:5.2f} dB\n")
             written.append(base)
     return written
 
