@@ -52,6 +52,11 @@ LADDER = (
     (256,  False, 0,   8),    # small unfused scan: still cheap, ~100k+
     (1024, True,  512, 32),   # fused decoder kernel
     (2048, True,  512, 32),   # round-2 headline config
+    # whole-frame kernel (demod+EQ+demap+decoder in ONE Pallas program,
+    # rx block DMA'd from HBM): last because its Mosaic compile is the
+    # riskiest -- every earlier rung is already banked if it hangs, and
+    # the parent's deadline kills a wedged compile.
+    (2048, "frame", 512, 32),
 )
 CHEAP_RUNGS = 2               # retry child only attempts LADDER[:CHEAP_RUNGS]
 
@@ -283,7 +288,13 @@ def _harvest(proc, q, stop_if_no_result_by: float):
         except queue.Empty:
             continue
         if item is None:                               # child EOF
-            proc.wait(timeout=10)
+            try:
+                # The TPU client's exit destructors can hang even after a
+                # successful run; never let that (or any wait error) unwind
+                # past _emit -- the banked result must still be printed.
+                proc.wait(timeout=10)
+            except Exception:
+                pass
             return got
         _record(item["value"], item["config"])
         got = True

@@ -211,8 +211,17 @@ def write_audio_cells(model, params, feats_seq, channels, EbNodB_list,
             w.setframerate(int(fs))
             w.writeframes(pcm.astype(np.int16).tobytes())
 
+    def _pad36(f20):
+        """Synthesis back-ends take the full 36-float-per-frame feature
+        layout (the FARGAN binary parses its input as 36-wide frames;
+        the built-in vocoders read the first 20 columns)."""
+        out = np.zeros((f20.shape[0], NB_TOTAL_FEATURES), np.float32)
+        out[:, :f20.shape[1]] = f20
+        return out
+
     # clean references, written once
-    clean16k = np.asarray(voc.synthesize(feats_seq[:, :20]), np.float32)
+    clean16k = np.asarray(voc.synthesize(_pad36(feats_seq[:, :20])),
+                          np.float32)
     write_wav(os.path.join(outdir, f"zz_{name}_orig.wav"), clean16k,
               SPEECH_FS)
     # SSB path runs at the modem rate (8 kHz): decimate by 2 post-LPF
@@ -241,7 +250,8 @@ def write_audio_cells(model, params, feats_seq, channels, EbNodB_list,
                       np.full((1,), e, np.float32))
             fh = np.asarray(out["features_hat"])[0]
             base = os.path.join(outdir, f"{name}_{e:g}dB_{ch}")
-            decoded = np.asarray(voc.synthesize(fh[:, :20]), np.float32)
+            decoded = np.asarray(voc.synthesize(_pad36(fh[:, :20])),
+                                 np.float32)
             write_wav(base + ".wav", decoded, SPEECH_FS)
             # end-to-end listening proxy: fwSegSNR of the decoded audio
             # against the clean vocoder reference (utils/quality.py)
@@ -315,6 +325,17 @@ def main(argv=None):
     if args.ber and args.shard_map:
         p.error("--ber is not supported with --shard_map yet")
     import jax
+
+    # Native checkpoints record their model args: infer --auxdata from the
+    # checkpoint so a trained-with-aux model evaluates correctly without
+    # the flag (a mismatch otherwise fails deep in the encoder matmul).
+    if (not args.auxdata and args.model_name not in ("", "random")
+            and not args.model_name.endswith(".pth")):
+        _, _meta = load_checkpoint(args.model_name)
+        if _meta.get("model_args", {}).get("auxdata"):
+            print("note: checkpoint was trained with auxdata; enabling it",
+                  file=sys.stderr)
+            args.auxdata = True
 
     nf = 21 if args.auxdata else 20
     common = dict(feature_dim=nf, latent_dim=args.latent_dim, EbNodB=100,

@@ -74,6 +74,8 @@ def specgram_plot(iq_path, out_png, Fs=8000, fmin=0.0, fmax=3000.0,
     x = np.fromfile(iq_path, np.float32 if real_input else np.complex64)
     step = int(20 * Fs / 1000)
     window = int(160 * Fs / 1000)
+    if len(x) < window:        # shorter than one analysis window: zero-pad
+        x = np.pad(x, (0, window - len(x)))
     fftn = 1 << int(np.ceil(np.log2(window)))
     win = np.hanning(window)
     n_slices = max(1, (len(x) - window) // step + 1)

@@ -77,7 +77,7 @@ def main(argv=None):
         feats = jax.device_put(
             (rng.standard_normal((Bt, T, 21)) * 0.3).astype(np.float32))
         key = jax.numpy.asarray(np.zeros(2, np.uint32))
-        st, m = tstep(st, feats, None, None, key)
+        _, m = tstep(st, feats, None, None, key)
         np.asarray(m["loss"])
 
         def tchain(n, state):
@@ -86,7 +86,11 @@ def main(argv=None):
                 state, metrics = tstep(state, feats, None, None, key)
             return metrics["loss"]
 
-        dt = _slope(tchain, lambda: st, n1=10, n2=40)
+        # tstep donates its state argument, so every timing run needs a
+        # FRESH TrainState: reusing one across runs would pass deleted
+        # (donated) buffers back in on backends that honor donation.
+        dt = _slope(tchain, lambda: init_state(device_put_tree(params)),
+                    n1=10, n2=40)
         print(f"train step B={Bt} T={T}: {dt*1e3:.1f} ms "
               f"-> {Bt*T*0.01/dt:,.0f} audio-seconds/s training")
 
