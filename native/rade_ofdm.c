@@ -191,8 +191,9 @@ void ro_rx_frame(const ro_modem *m, float *z, const rc_cplx *rx,
                  float *S1, float *S2)
 {
     int MC = m->M + m->Ncp;
-    int nrows = m->Ns + 2;
-    rc_cplx sym[6][RO_MAX_NC];
+    int nrows = m->Ns + 2;                /* 6 for the Ns=4 waveform */
+    rc_cplx sym[8][RO_MAX_NC] = {{0}};
+    if (nrows > 8) return;
 
     for (int r = 0; r < nrows; r++)
         dft_row(m, sym[r], rx + (size_t)r * MC + m->Ncp + m->time_offset);
@@ -295,23 +296,33 @@ void ro_acq_init(ro_acq *a, const ro_modem *m)
     for (int f = 0; f < RO_FCOARSE; f++) {
         a->fcoarse[f] = -50.0f + 2.5f * f;
         float w = 2.0 * M_PI * a->fcoarse[f] / m->Fs;
-        for (int n = 0; n < m->M; n++)
-            a->p_w[n][f] = cexpf(I * (float)(w * n)) * m->p[n];
+        for (int n = 0; n < m->M; n++) {
+            rc_cplx v = cexpf(I * (float)(w * n)) * m->p[n];
+            a->p_wr[n][f] = crealf(v);
+            a->p_wi[n][f] = cimagf(v);
+        }
     }
 }
 
 static void corr_row(const ro_acq *a, float *out, const rc_cplx *rx)
 {
+    /* acc[f] = sum_n conj(rx[n]) * exp(iwn) p[n]; split-complex planes so
+       the f loop vectorizes as plain float FMAs */
     const ro_modem *m = a->m;
-    rc_cplx acc[RO_FCOARSE];
-    memset(acc, 0, sizeof acc);
+    const float *x = (const float *)rx;          /* interleaved re/im */
+    float accr[RO_FCOARSE], acci[RO_FCOARSE];
+    memset(accr, 0, sizeof accr);
+    memset(acci, 0, sizeof acci);
     for (int n = 0; n < m->M; n++) {
-        rc_cplx r = conjf(rx[n]);
-        for (int f = 0; f < RO_FCOARSE; f++)
-            acc[f] += r * a->p_w[n][f];
+        float xr = x[2 * n], xi = x[2 * n + 1];
+        const float *pr = a->p_wr[n], *pi = a->p_wi[n];
+        for (int f = 0; f < RO_FCOARSE; f++) {
+            accr[f] += xr * pr[f] + xi * pi[f];
+            acci[f] += xr * pi[f] - xi * pr[f];
+        }
     }
     for (int f = 0; f < RO_FCOARSE; f++)
-        out[f] = cabsf(acc[f]);
+        out[f] = sqrtf(accr[f] * accr[f] + acci[f] * acci[f]);
 }
 
 static float grid_thresh(const ro_acq *a, float Pacq_error)
@@ -356,17 +367,33 @@ void ro_acq_refine(ro_acq *a, const rc_cplx *rx, int *tmax, float *fmax,
     float best = 0;
     int bt = *tmax;
     float bf = *fmax;
+    /* the replica exp(-iwn)conj(p[n]) depends on f only: build it ONCE per
+       candidate freq (incremental phasor, no per-sample cexpf) instead of
+       recomputing it for every timing hypothesis t */
+    float wvr[RO_MAX_M], wvi[RO_MAX_M];
     for (float f = f_lo; f < f_hi; f += f_step) {
         float w = 2.0 * M_PI * f / m->Fs;
         rc_cplx shift_nmf = cexpf(-I * (float)(w * m->Nmf));
+        rc_cplx ph = 1.0f, step = cexpf(-I * w);
+        for (int n = 0; n < m->M; n++) {
+            rc_cplx wv = ph * conjf(m->p[n]);
+            wvr[n] = crealf(wv);
+            wvi[n] = cimagf(wv);
+            ph *= step;
+        }
         for (int t = t_lo; t < t_hi; t++) {
-            rc_cplx d1 = 0, d2 = 0;
+            const float *x1 = (const float *)(rx + t);
+            const float *x2 = (const float *)(rx + t + m->Nmf);
+            float d1r = 0, d1i = 0, d2r = 0, d2i = 0;
             for (int n = 0; n < m->M; n++) {
-                rc_cplx wv = cexpf(-I * (float)(w * n)) * conjf(m->p[n]);
-                d1 += rx[t + n] * wv;
-                d2 += rx[t + m->Nmf + n] * wv * shift_nmf;
+                d1r += x1[2 * n] * wvr[n] - x1[2 * n + 1] * wvi[n];
+                d1i += x1[2 * n] * wvi[n] + x1[2 * n + 1] * wvr[n];
+                d2r += x2[2 * n] * wvr[n] - x2[2 * n + 1] * wvi[n];
+                d2i += x2[2 * n] * wvi[n] + x2[2 * n + 1] * wvr[n];
             }
-            float mag = cabsf(d1 + d2);
+            rc_cplx d = (d1r + I * d1i)
+                      + (d2r + I * d2i) * shift_nmf;
+            float mag = cabsf(d);
             if (mag > best) { best = mag; bt = t; bf = f; }
         }
     }

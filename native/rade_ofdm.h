@@ -65,7 +65,9 @@ void ro_set_eoo_bits(ro_modem *m, const float *bits);
 
 typedef struct {
     const ro_modem *m;
-    rc_cplx p_w[RO_MAX_M][RO_FCOARSE];           /* freq-shifted pilots */
+    /* freq-shifted conjugate pilots, split-complex planes so the coarse
+       correlation inner loop vectorizes (C _Complex defeats SLP) */
+    float p_wr[RO_MAX_M][RO_FCOARSE], p_wi[RO_MAX_M][RO_FCOARSE];
     float fcoarse[RO_FCOARSE];
     float Dt1[960][RO_FCOARSE], Dt2[960][RO_FCOARSE];  /* |corr| grids */
     float Dthresh, Dtmax12, Dtmax12_eoo;
