@@ -296,3 +296,19 @@ def test_evaluate_ber_curve(tmp_path, capsys):
     # theory at the 2 dB-degraded EbNo
     th4 = 0.5 * erfc(sqrt(10 ** ((4 - 2) / 10)))
     assert b4 < th4 * 1.5 + 0.01, (b4, th4)
+
+
+def test_evaluate_infers_auxdata_from_checkpoint(tmp_path, capsys):
+    """A checkpoint trained with auxdata evaluates correctly WITHOUT the
+    --auxdata flag: the tool reads the checkpoint's recorded model args
+    (a mismatch used to fail deep inside the encoder matmul)."""
+    from radae_tpu.tools.evaluate import main as eval_main
+    ckpt = os.path.join(os.path.dirname(__file__), "..", "fixtures",
+                        "model_fs_flagship.npz")
+    fin = str(tmp_path / "f.f32")
+    make_feature_file(fin, nframes=24)
+    eval_main([ckpt, fin, "--channels", "awgn",
+               "--EbNodB", "10", "--reps", "1", "--seconds", "0.24",
+               "--n_devices", "1"])
+    out = capsys.readouterr().out
+    assert "awgn" in out and "10.0" in out
