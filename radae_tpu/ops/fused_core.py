@@ -137,7 +137,7 @@ def make_fused_decoder_step(latent_dim: int, feature_dim: int,
             state_out[5 + i][:] = hist[i]
 
     def weight_spec():
-        return pl.BlockSpec(memory_space=pltpu.ANY)
+        return pl.BlockSpec(memory_space=pl.ANY)
 
     def step(weights, z, *state):
         nw = len(weights)
@@ -382,7 +382,7 @@ def make_fused_rx_frame_step(cfg, batch: int, tile: int = 512,
         rxi = rx[..., 1]
         if rx_dma:
             # full arrays stay in ANY/HBM; the kernel DMAs rows itself
-            in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+            in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
         else:
             in_specs = [pl.BlockSpec((tile, n_rs, samp), lambda b: (b, 0, 0),
                                      memory_space=pltpu.VMEM)] * 2
