@@ -62,7 +62,7 @@ def build_grid_batch(cfg, feats_seq, channels, EbNodB_list, reps, rng):
 
 
 def run_sweep_shard_map(model, params, feats_seq, channels, EbNodB_list,
-                        reps=2, mesh=None, seed=0):
+                        reps=2, mesh=None, seed=0, metric="loss"):
     """run_sweep with *explicit* per-device programs and collectives
     (shard_map + lax.psum) instead of jit-propagated shardings.
 
@@ -107,7 +107,11 @@ def run_sweep_shard_map(model, params, feats_seq, channels, EbNodB_list,
         # same-shaped local draws would repeat on every device
         k = jax.random.fold_in(k, jax.lax.axis_index("dp"))
         out = model.forward(p, f, h, g, key=k, EbNodB=e)
-        losses = distortion_loss(f[..., :20], out["features_hat"][..., :20])
+        if metric == "ber":
+            losses = out["ber_row"]
+        else:
+            losses = distortion_loss(f[..., :20],
+                                     out["features_hat"][..., :20])
         sums = oh.T @ losses                     # (n_cells,) partial sums
         counts = oh.sum(axis=0)
         sums = jax.lax.psum(sums, "dp")          # ONE collective each
@@ -322,8 +326,6 @@ def main(argv=None):
                         "(reference: evaluate.sh)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
-    if args.ber and args.shard_map:
-        p.error("--ber is not supported with --shard_map yet")
     import jax
 
     # Native checkpoints record their model args: infer --auxdata from the
@@ -375,9 +377,9 @@ def main(argv=None):
     import time
     t0 = time.time()
     sweep = run_sweep_shard_map if args.shard_map else run_sweep
-    kw = {} if args.shard_map else {"metric": "ber" if args.ber else "loss"}
     table = sweep(model, params, feats_seq, channels, ebnos,
-                  reps=args.reps, mesh=mesh, seed=args.seed, **kw)
+                  reps=args.reps, mesh=mesh, seed=args.seed,
+                  metric="ber" if args.ber else "loss")
     dt = time.time() - t0
 
     print(f"{'channel':8s} " + " ".join(f"{e:7.1f}" for e in ebnos))

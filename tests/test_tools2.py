@@ -312,3 +312,34 @@ def test_evaluate_infers_auxdata_from_checkpoint(tmp_path, capsys):
                "--n_devices", "1"])
     out = capsys.readouterr().out
     assert "awgn" in out and "10.0" in out
+
+
+def test_evaluate_shard_map_ber_matches_jit(tmp_path):
+    """--ber now works with --shard_map: the per-device+psum BER sweep
+    reproduces the jit path — exactly 0 with no noise (the reference's
+    'BER: 0.000' gate) and near QPSK theory at 0 dB."""
+    import jax
+    from radae_tpu.config import RADAEConfig
+    from radae_tpu.models.radae import RADAE
+    from radae_tpu.parallel.mesh import make_mesh
+    from radae_tpu.tools.evaluate import run_sweep, run_sweep_shard_map
+
+    cfg = RADAEConfig(feature_dim=20, EbNodB=100, rate_Fs=True, pilots=True,
+                      pilot_eq=True, eq_mean6=False, cyclic_prefix=0.004,
+                      bottleneck=1, ber_test=True, quant_noise=False)
+    model = RADAE(cfg)
+    params = jax.device_put(model.init(0))
+    rng = np.random.default_rng(9)
+    T = cfg.num_10ms_times_steps_rounded_to_modem_frames(120)
+    feats_seq = (rng.standard_normal((T, 20)) * 0.3).astype(np.float32)
+    mesh = make_mesh(8)
+
+    kw = dict(channels=["awgn"], EbNodB_list=[100.0, 0.0], reps=2,
+              mesh=mesh, seed=3, metric="ber")
+    a = run_sweep(model, params, feats_seq, **kw)
+    b = run_sweep_shard_map(model, params, feats_seq, **kw)
+    assert a[("awgn", 100.0)] == 0.0 and b[("awgn", 100.0)] == 0.0, (a, b)
+    # 0 dB: both within the 2 dB implementation-loss budget of theory
+    # (0.5*erfc(1) = 0.079); draws differ by design, so compare to theory
+    for t in (a, b):
+        assert 0.05 < t[("awgn", 0.0)] < 0.16, t
