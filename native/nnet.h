@@ -14,14 +14,26 @@
 #define RADAE_NNET_H
 
 #include <stddef.h>
+#include <stdint.h>
 
 #ifdef __cplusplus
 extern "C" {
 #endif
 
+/* Every weight matrix optionally carries an int8 copy (per-output-row
+ * absmax scales).  When the w8 pointer is set the forward paths use it
+ * instead of the float weights: the step is weight-bandwidth-bound at
+ * batch 1, so reading 1 byte/weight instead of 4 is a direct speedup.
+ * This mirrors the reference C runtime, whose opus nnet primitives run
+ * 8-bit quantized weight arrays (reference: src/rade_enc_data.h /
+ * opus compute_generic_dense); the net is trained with 8-bit activation
+ * quantization noise (radae_base.py:80-81) precisely to tolerate this. */
+
 typedef struct {
     const float *w;     /* (out, in) row-major */
     const float *b;     /* (out) */
+    const int8_t *w8;   /* optional int8 copy of w */
+    const float *w8s;   /* per-row dequant scales (out) */
     int in_dim, out_dim;
 } rn_dense;
 
@@ -30,19 +42,32 @@ typedef struct {
     const float *w_hh;  /* (3H, H)  */
     const float *b_ih;  /* (3H) */
     const float *b_hh;  /* (3H) */
+    const int8_t *w_ih8, *w_hh8;
+    const float *w_ih8s, *w_hh8s;
     int in_dim, hidden;
 } rn_gru;
 
 typedef struct {
     const float *w;     /* (out, in, 2) */
     const float *b;     /* (out) */
+    const int8_t *w8;
+    const float *w8s;
     int in_dim, out_dim, dilation;
 } rn_conv2;
 
 typedef struct {
     const float *w;     /* fused weight-norm gate (F, F) */
+    const int8_t *w8;
+    const float *w8s;
     int feat;
 } rn_glu;
+
+/* Quantize a (rows, cols) float matrix to int8 with per-row absmax
+ * scales.  Returns one malloc'd block (caller frees) laid out as
+ * rows float scales followed by rows*cols int8; sets *w8/*scale into it;
+ * NULL on allocation failure. */
+void *rn_quantize_rows(const float *w, int rows, int cols,
+                       const int8_t **w8, const float **scale);
 
 /* y = W x + b */
 void rn_dense_fwd(const rn_dense *d, float *y, const float *x);

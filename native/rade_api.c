@@ -77,6 +77,12 @@ struct rade *rade_open(const char *model_file, int flags)
         || rc_decoder_init(&r->dec, &r->blob)) {
         rw_free(&r->blob); free(r); return NULL;
     }
+    const char *env_q = getenv("RADE_INT8");
+    if ((flags & RADE_USE_INT8) || (env_q && env_q[0] == '1')) {
+        /* best-effort: on alloc failure the codec keeps running float */
+        rc_encoder_quantize(&r->enc);
+        rc_decoder_quantize(&r->dec);
+    }
     r->auxdata = (r->enc.feature_dim == 21);
     if (ro_modem_init(&r->modem, r->enc.latent_dim, 3, -16)) {
         rw_free(&r->blob); free(r); return NULL;
@@ -104,6 +110,8 @@ struct rade *rade_open(const char *model_file, int flags)
 void rade_close(struct rade *r)
 {
     if (!r) return;
+    rc_encoder_free(&r->enc);
+    rc_decoder_free(&r->dec);
     rw_free(&r->blob);
     free(r);
 }

@@ -28,6 +28,11 @@ extern "C" {
 #define RADE_USE_C_DECODER 0x2
 #define RADE_FOFF_TEST     0x4
 #define RADE_VERBOSE_0     0x8
+/* Run the core codec with int8-quantized weights (per-row scales,
+ * quantized at load): ~4x less weight bandwidth on the batch-1 GRU
+ * stack.  Also enabled by environment RADE_INT8=1.  Parity with the
+ * float path is gated at the reference's loss-delta < 0.01 contract. */
+#define RADE_USE_INT8      0x10
 
 #ifndef RADE_COMP_DEFINED
 #define RADE_COMP_DEFINED

@@ -1,6 +1,7 @@
 #include "rade_core.h"
 
 #include <stdio.h>
+#include <stdlib.h>
 #include <string.h>
 
 static const int ENC_GRU_IN[RC_NLAYERS] = {64, 224, 384, 544, 704};
@@ -108,6 +109,82 @@ int rc_decoder_init(rc_decoder *d, const rw_blob *w)
     d->feature_dim = d->output.out_dim / 4;
     rc_decoder_reset(d);
     return 0;
+}
+
+/* -- int8 weight quantization (per-output-row absmax scales) ------------- */
+
+static int q_add(void **qmem, int *n, void *blk)
+{
+    if (!blk || *n >= RC_MAX_QMEM) { free(blk); return -1; }
+    qmem[(*n)++] = blk;
+    return 0;
+}
+
+static int q_dense(rn_dense *d, void **qmem, int *n)
+{
+    return q_add(qmem, n, rn_quantize_rows(d->w, d->out_dim, d->in_dim,
+                                           &d->w8, &d->w8s));
+}
+
+static int q_gru(rn_gru *g, void **qmem, int *n)
+{
+    if (q_add(qmem, n, rn_quantize_rows(g->w_ih, 3 * g->hidden, g->in_dim,
+                                        &g->w_ih8, &g->w_ih8s))) return -1;
+    if (q_add(qmem, n, rn_quantize_rows(g->w_hh, 3 * g->hidden, g->hidden,
+                                        &g->w_hh8, &g->w_hh8s))) {
+        g->w_ih8 = NULL;
+        return -1;
+    }
+    return 0;
+}
+
+static int q_conv(rn_conv2 *c, void **qmem, int *n)
+{
+    return q_add(qmem, n, rn_quantize_rows(c->w, c->out_dim, 2 * c->in_dim,
+                                           &c->w8, &c->w8s));
+}
+
+static int q_glu(rn_glu *g, void **qmem, int *n)
+{
+    return q_add(qmem, n, rn_quantize_rows(g->w, g->feat, g->feat,
+                                           &g->w8, &g->w8s));
+}
+
+int rc_encoder_quantize(rc_encoder *e)
+{
+    int rc = 0;
+    rc |= q_dense(&e->dense_1, e->qmem, &e->nqmem);
+    for (int i = 0; i < RC_NLAYERS; i++) {
+        rc |= q_gru(&e->gru[i], e->qmem, &e->nqmem);
+        rc |= q_conv(&e->conv[i], e->qmem, &e->nqmem);
+    }
+    rc |= q_dense(&e->z_dense, e->qmem, &e->nqmem);
+    return rc ? -1 : 0;
+}
+
+int rc_decoder_quantize(rc_decoder *d)
+{
+    int rc = 0;
+    rc |= q_dense(&d->dense_1, d->qmem, &d->nqmem);
+    for (int i = 0; i < RC_NLAYERS; i++) {
+        rc |= q_gru(&d->gru[i], d->qmem, &d->nqmem);
+        rc |= q_glu(&d->glu[i], d->qmem, &d->nqmem);
+        rc |= q_conv(&d->conv[i], d->qmem, &d->nqmem);
+    }
+    rc |= q_dense(&d->output, d->qmem, &d->nqmem);
+    return rc ? -1 : 0;
+}
+
+void rc_encoder_free(rc_encoder *e)
+{
+    for (int i = 0; i < e->nqmem; i++) free(e->qmem[i]);
+    e->nqmem = 0;
+}
+
+void rc_decoder_free(rc_decoder *d)
+{
+    for (int i = 0; i < d->nqmem; i++) free(d->qmem[i]);
+    d->nqmem = 0;
 }
 
 void rc_encoder_reset(rc_encoder *e)

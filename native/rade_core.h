@@ -26,6 +26,8 @@ extern "C" {
 #define RC_DEC_CAT 736
 #define RC_MAX_HIST 2          /* max conv dilation */
 
+#define RC_MAX_QMEM 32          /* owned int8 weight blocks per codec */
+
 typedef struct {
     rn_dense dense_1, z_dense;
     rn_gru gru[RC_NLAYERS];
@@ -35,6 +37,9 @@ typedef struct {
     float h[RC_NLAYERS][96];
     float hist[RC_NLAYERS][RC_MAX_HIST][RC_ENC_CAT];
     int hist_pos[RC_NLAYERS];
+    /* owned int8 weight copies (rc_encoder_quantize) */
+    void *qmem[RC_MAX_QMEM];
+    int nqmem;
 } rc_encoder;
 
 typedef struct {
@@ -46,12 +51,24 @@ typedef struct {
     float h[RC_NLAYERS][96];
     float hist[RC_NLAYERS][RC_MAX_HIST][RC_ENC_CAT];
     int hist_pos[RC_NLAYERS];
+    void *qmem[RC_MAX_QMEM];
+    int nqmem;
 } rc_decoder;
 
 /* Bind weights from a blob ("encoder/..." / "decoder/..." names).
  * Returns 0 on success. */
 int rc_encoder_init(rc_encoder *e, const rw_blob *w, int bottleneck);
 int rc_decoder_init(rc_decoder *d, const rw_blob *w);
+
+/* Switch every weight matrix to an int8 copy with per-row scales
+ * (reference parity: the reference C runtime runs 8-bit quantized
+ * weights through the opus nnet primitives).  Biases and activations
+ * stay float.  Returns 0 on success; on failure the codec keeps
+ * running in float.  rc_*_free releases the copies. */
+int rc_encoder_quantize(rc_encoder *e);
+int rc_decoder_quantize(rc_decoder *d);
+void rc_encoder_free(rc_encoder *e);
+void rc_decoder_free(rc_decoder *d);
 
 void rc_encoder_reset(rc_encoder *e);
 void rc_decoder_reset(rc_decoder *d);

@@ -31,10 +31,16 @@ int main(int argc, char **argv)
     FILE *fout = fopen(argv[4], "wb");
     if (!fin || !fout) { fprintf(stderr, "file open failed\n"); return 1; }
 
+    const char *env_q = getenv("RADE_INT8");
+    int use_int8 = env_q && env_q[0] == '1';
+
     if (enc) {
         rc_encoder e;
         int rc = rc_encoder_init(&e, &blob, bottleneck);
         if (rc) { fprintf(stderr, "encoder init failed %d\n", rc); return 1; }
+        if (use_int8 && rc_encoder_quantize(&e)) {
+            fprintf(stderr, "encoder quantize failed\n"); return 1;
+        }
         int in_n = 4 * e.feature_dim;
         float *in = malloc(in_n * sizeof(float));
         float *z = malloc(e.latent_dim * sizeof(float));
@@ -50,6 +56,9 @@ int main(int argc, char **argv)
         rc_decoder d;
         int rc = rc_decoder_init(&d, &blob);
         if (rc) { fprintf(stderr, "decoder init failed %d\n", rc); return 1; }
+        if (use_int8 && rc_decoder_quantize(&d)) {
+            fprintf(stderr, "decoder quantize failed\n"); return 1;
+        }
         int out_n = 4 * d.feature_dim;
         float *z = malloc(d.latent_dim * sizeof(float));
         float *out = malloc(out_n * sizeof(float));

@@ -214,6 +214,66 @@ int main(void) {
                                rtol=1e-3, atol=2e-4)
 
 
+def test_c_int8_decoder_parity(blob, tmp_path):
+    """int8-quantized weights (RADE_INT8=1) vs the float C decoder: the
+    reference's C runtime ships 8-bit quantized weights, gated at
+    loss delta < 0.01 against the float model (reference:
+    CMakeLists.txt:518-557, src/rade_enc_data.h) — same contract here."""
+    from radae_tpu.models.core import distortion_loss
+
+    path, model, params = blob
+    rng = np.random.default_rng(11)
+    z = np.tanh(rng.standard_normal((1, 40, 80))).astype(np.float32)
+    fin = str(tmp_path / "z.f32")
+    z.flatten().tofile(fin)
+
+    outs = {}
+    for tag, val in [("f32", "0"), ("int8", "1")]:
+        fout = str(tmp_path / f"f_{tag}.f32")
+        env = dict(os.environ, RADE_INT8=val)
+        r = subprocess.run([f"{NATIVE}/test_core", "dec", path, fin, fout],
+                           capture_output=True, text=True, env=env)
+        assert r.returncode == 0, r.stderr
+        outs[tag] = np.fromfile(fout, np.float32).reshape(1, -1, 21)
+
+    # the int8 path must actually engage (outputs differ)...
+    assert np.abs(outs["int8"] - outs["f32"]).max() > 1e-6
+    # ...and stay within the reference's quantized-C parity budget
+    loss = float(np.asarray(distortion_loss(
+        outs["f32"][..., :20], outs["int8"][..., :20]))[0])
+    assert loss < 0.01, loss
+
+
+def test_c_int8_receiver_parity(blob, tmp_path):
+    """Full C receiver with int8 weights on a transmitted stream: output
+    must track the float receiver within the 0.01 loss-delta gate (and
+    runs ~15% faster CPU-time; measured in RESULTS.md)."""
+    from radae_tpu.models.core import distortion_loss
+
+    path, model, params = blob
+    rng = np.random.default_rng(12)
+    nframes = 10
+    feats = np.zeros((nframes * 12, 36), np.float32)
+    feats[:, :20] = rng.standard_normal((nframes * 12, 20)) * 0.3
+    tx = subprocess.run([f"{NATIVE}/radae_tx", path],
+                        input=feats.flatten().tobytes(), capture_output=True)
+    assert tx.returncode == 0, tx.stderr.decode()
+
+    outs = {}
+    for tag, val in [("f32", "0"), ("int8", "1")]:
+        env = dict(os.environ, RADE_INT8=val)
+        r = subprocess.run([f"{NATIVE}/radae_rx", path], input=tx.stdout,
+                           capture_output=True, env=env, cwd=str(tmp_path))
+        assert r.returncode == 0
+        outs[tag] = np.frombuffer(r.stdout, np.float32).reshape(-1, 36)
+
+    n = min(len(outs["f32"]), len(outs["int8"]))
+    assert n >= (nframes - 5) * 12
+    loss = float(np.asarray(distortion_loss(
+        outs["f32"][None, :n, :20], outs["int8"][None, :n, :20]))[0])
+    assert loss < 0.01, loss
+
+
 def test_c_receiver_realtime_characterisation(blob, tmp_path):
     """Performance characterisation (reference: the %-CPU-of-real-time
     ctests, CMakeLists.txt:429-458 / README.md:312-318): the native C

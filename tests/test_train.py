@@ -44,6 +44,36 @@ def test_single_device_loss_decreases(setup):
     assert int(state.step) == 12
 
 
+def test_scanned_train_step_matches_sequential(setup):
+    """scan_steps>1 with stacked per-step minibatches must reproduce the
+    sequential single-step trajectory exactly (the key is folded with
+    state.step inside, so step k sees the same randomness either way)."""
+    cfg, model, params = setup
+    key = jax.random.PRNGKey(7)
+    f0, H, G = synth_batch(cfg, model, 4, 48, seed=1)
+    f1, _, _ = synth_batch(cfg, model, 4, 48, seed=2)
+
+    init_state, step1 = make_train_step(model, lr=3e-3)
+    state = init_state(params)
+    for f in (f0, f1):
+        state, metrics_seq = step1(state, f, H, G, key)
+
+    init_state2, step2 = make_train_step(model, lr=3e-3, scan_steps=2)
+    stacked = np.stack([f0, f1])
+    Hs = np.stack([H, H])
+    Gs = np.stack([G, G])
+    state2, metrics = step2(init_state2(params), stacked, Hs, Gs, key)
+
+    assert int(state2.step) == 2
+    np.testing.assert_allclose(metrics["loss"], metrics_seq["loss"],
+                               rtol=1e-5, atol=1e-6)
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(state2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_mesh_train_step(setup):
     cfg, model, params = setup
     mesh = make_mesh(8)
