@@ -22,9 +22,14 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def shard_batch(mesh: Mesh, tree, axis: str = "dp"):
-    """Place a batch pytree with its leading axis sharded over the mesh."""
-    sharding = NamedSharding(mesh, P(axis))
+def shard_batch(mesh: Mesh, tree, axis: str = "dp", batch_axis: int = 0):
+    """Place a batch pytree with its batch axis sharded over the mesh.
+
+    batch_axis=1 handles stacked multi-step batches (scan, B, ...) from
+    make_train_step(scan_steps=N): the scan axis stays replicated-in-time
+    while B is sharded."""
+    spec = P(*([None] * batch_axis + [axis]))
+    sharding = NamedSharding(mesh, spec)
 
     def put(x):
         return jax.device_put(x, sharding)

@@ -57,6 +57,12 @@ def build_parser():
                    help="training-time extra weight on the aux symbol loss")
     p.add_argument("--n_devices", type=int, default=0,
                    help="devices for the dp mesh (0 = all)")
+    p.add_argument("--scan-steps", type=int, default=1,
+                   help="optimizer steps per device dispatch (lax.scan "
+                        "over stacked minibatches): amortises per-call "
+                        "dispatch latency on relay-tunnelled TPUs; "
+                        "epoch-end leftover groups are dropped "
+                        "(deterministic, like the reference's drop_last)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -120,9 +126,11 @@ def main(argv=None):
         _loss_vs_EqNo(args, cfg, model, device_put_tree(params), ds, rng, key)
         return
 
+    scan = max(1, args.scan_steps)
     init_state, train_step = make_train_step(
         model, lr=args.lr, lr_decay_factor=args.lr_decay_factor, mesh=mesh,
-        aux_ber=args.auxdata, aux_weight_boost=args.aux_weight_boost)
+        aux_ber=args.auxdata, aux_weight_boost=args.aux_weight_boost,
+        scan_steps=scan)
     state = init_state(device_put_tree(params))
 
     log_interval = 10
@@ -131,26 +139,42 @@ def main(argv=None):
         t0 = time.time()
         running = 0.0
         nb = 0
+        group = []
         with mesh:
             for feats, H, G in ds.batches(args.batch_size, rng):
                 # benign channels are built in-graph: only ship real data
                 Hb = H if args.h_file else None
                 Gb = cplx.pack_np(G) if (cfg.rate_Fs and args.g_file) else None
+                if scan > 1:
+                    # stack `scan` minibatches into one (scan, B, ...)
+                    # dispatch; B stays the sharded axis
+                    group.append((feats, Hb, Gb))
+                    if len(group) < scan:
+                        continue
+                    feats = np.stack([g[0] for g in group])
+                    Hb = (np.stack([g[1] for g in group])
+                          if Hb is not None else None)
+                    Gb = (np.stack([g[2] for g in group])
+                          if Gb is not None else None)
+                    group = []
                 batch = shard_batch(mesh, tuple(
-                    x for x in (feats, Hb, Gb) if x is not None))
+                    x for x in (feats, Hb, Gb) if x is not None),
+                    batch_axis=1 if scan > 1 else 0)
                 it = iter(batch)
                 feats_d = next(it)
                 Hd = next(it) if Hb is not None else None
                 Gd = next(it) if Gb is not None else None
                 state, metrics = train_step(state, feats_d, Hd, Gd, key)
+                # metrics are the group's last step; running mean samples
+                # one step per dispatch (weighting is uniform either way)
                 running += float(np.asarray(metrics["loss"])[0])
-                nb += 1
-                if nb % log_interval == 0:
-                    msg = f"epoch {epoch} batch {nb} loss {running/nb:.4f}"
+                nb += scan
+                if nb % (log_interval * scan) == 0:
+                    msg = f"epoch {epoch} batch {nb} loss {running*scan/nb:.4f}"
                     if args.auxdata:
                         msg += f" BER {float(np.asarray(metrics['ber'])[0]):.3f}"
                     print(msg, file=sys.stderr)
-        epoch_loss = running / max(nb, 1)
+        epoch_loss = running * scan / max(nb, 1)
         dt = time.time() - t0
         ber_str = ""
         if args.auxdata and metrics is not None and "ber" in metrics:

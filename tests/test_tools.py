@@ -96,6 +96,22 @@ def test_train_cli_one_epoch(tmp_path, capsys):
     assert "encoder" in params and "decoder" in params
 
 
+def test_train_cli_scan_steps(tmp_path):
+    """--scan-steps groups minibatches into one dispatch; the epoch must
+    still produce a checkpoint with the full step count applied."""
+    fin = str(tmp_path / "f.f32")
+    make_feature_file(fin, nframes=48 * 16)
+    out = str(tmp_path / "run_scan")
+    run_tool("train", [fin, out, "--epochs", "1", "--batch-size", "4",
+                       "--sequence-length", "48", "--EbNodB", "10",
+                       "--scan-steps", "2"])
+    ckpt = os.path.join(out, "checkpoints", "checkpoint_epoch_1.npz")
+    assert os.path.exists(ckpt)
+    from radae_tpu.convert import load_checkpoint
+    params, meta = load_checkpoint(ckpt)
+    assert np.isfinite(meta["loss"])
+
+
 def test_train_resume(tmp_path):
     fin = str(tmp_path / "f.f32")
     make_feature_file(fin, nframes=48 * 8)
