@@ -51,6 +51,7 @@ def train_breakdown(batches, T=240, remat=False, scan=8):
     from ..parallel.trainstep import make_train_step
     from ..utils.hostio import device_put_tree
 
+    assert T % 12 == 0, f"T={T}: need whole modem frames (12 x 10 ms)"
     cfg = flagship_config(EbNodB=3.0, range_EbNo=True)
     model = RADAE(cfg)
     params_host = model.init(0)

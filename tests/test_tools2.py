@@ -343,3 +343,16 @@ def test_evaluate_shard_map_ber_matches_jit(tmp_path):
     # (0.5*erfc(1) = 0.079); draws differ by design, so compare to theory
     for t in (a, b):
         assert 0.05 < t[("awgn", 0.0)] < 0.16, t
+
+
+def test_profile_train_breakdown_smoke():
+    """The per-component training-step profiler must produce a positive,
+    internally-consistent table (full grad >= encoder-only) at toy size."""
+    from radae_tpu.tools.profile import train_breakdown
+    rows = train_breakdown([2], T=48, scan=2)
+    row = rows[0]
+    assert row["full step (+Adam)"] > 0
+    assert row["full fwd+bwd (grad)"] > 0
+    # the full grad includes the encoder's work; with CPU timing noise at
+    # toy sizes allow generous slack but catch sign/ordering bugs
+    assert row["full fwd+bwd (grad)"] > 0.3 * row["encoder fwd+bwd"]
