@@ -250,6 +250,10 @@ def _record(value, config):
     if _best["value"] is None or value > _best["value"]:
         _best["value"] = value
         _best["config"] = config
+        if os.environ.get("BENCH_PLATFORM"):
+            # test-hook runs (CPU) must not clobber the real on-chip
+            # cache that the error path reports as last_measured
+            return
         try:
             with open(CACHE, "w") as f:
                 json.dump({"value": round(value, 1), "config": config,
