@@ -136,9 +136,12 @@ void rn_gru_fwd(const rn_gru *g, float *h, const float *x)
 void rn_conv2_fwd(const rn_conv2 *c, float *y, const float *x_hist,
                   const float *x)
 {
-    if (c->w8) {
+    if (c->w8 && c->in_dim <= 1024) {
         /* interleave the two taps once so the weight row is consumed as
-         * one contiguous dot product (same layout as the weights) */
+         * one contiguous dot product (same layout as the weights); the
+         * dim guard keeps a future wider config on the float path below
+         * instead of overrunning the stack buffer (current max in_dim
+         * is 768, validated at init) */
         float xcat[2 * 1024];
         for (int i = 0; i < c->in_dim; i++) {
             xcat[2 * i] = x_hist[i];

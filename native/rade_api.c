@@ -17,6 +17,7 @@
 
 #include "rade_core.h"
 #include "rade_ofdm.h"
+#include "snr_cal.h"
 
 #ifndef M_PI
 #define M_PI 3.14159265358979323846
@@ -79,12 +80,14 @@ struct rade *rade_open(const char *model_file, int flags)
     }
     const char *env_q = getenv("RADE_INT8");
     if ((flags & RADE_USE_INT8) || (env_q && env_q[0] == '1')) {
-        /* best-effort: on alloc failure the codec keeps running float */
+        /* best-effort: on alloc failure quantize rolls itself back and
+           the codec keeps running float */
         rc_encoder_quantize(&r->enc);
         rc_decoder_quantize(&r->dec);
     }
     r->auxdata = (r->enc.feature_dim == 21);
     if (ro_modem_init(&r->modem, r->enc.latent_dim, 3, -16)) {
+        rc_encoder_free(&r->enc); rc_decoder_free(&r->dec);
         rw_free(&r->blob); free(r); return NULL;
     }
     ro_modem *m = &r->modem;
@@ -167,7 +170,7 @@ static void update_snr(struct rade *r, float S1, float S2)
     float snr = S1 / (2.0f * S2) - 1.0f;
     if (snr <= 0) snr = 0.1f;
     float snrdB = 10.0f * log10f(snr);
-    snrdB = (snrdB - 2.548f) / 0.8745f;  /* refit: tools/est_snr.py */
+    snrdB = (snrdB - RO_SNR_CAL_C) / RO_SNR_CAL_M;  /* see snr_cal.h */
     float Rs = (float)m->Fs / m->M;
     float snr3k = snrdB + 10.0f * log10f(Rs * m->Nc / 3000.0f)
                 + 10.0f * log10f((float)(m->M + m->Ncp) / m->M);

@@ -150,6 +150,46 @@ static int q_glu(rn_glu *g, void **qmem, int *n)
                                            &g->w8, &g->w8s));
 }
 
+/* Clear every layer's int8 view so no forward path can dereference a
+ * freed (or never-allocated) qmem block: called by the free functions
+ * and when a partial quantize is rolled back to all-float. */
+static void enc_clear_int8(rc_encoder *e)
+{
+    e->dense_1.w8 = NULL; e->dense_1.w8s = NULL;
+    e->z_dense.w8 = NULL; e->z_dense.w8s = NULL;
+    for (int i = 0; i < RC_NLAYERS; i++) {
+        e->gru[i].w_ih8 = NULL; e->gru[i].w_ih8s = NULL;
+        e->gru[i].w_hh8 = NULL; e->gru[i].w_hh8s = NULL;
+        e->conv[i].w8 = NULL; e->conv[i].w8s = NULL;
+    }
+}
+
+static void dec_clear_int8(rc_decoder *d)
+{
+    d->dense_1.w8 = NULL; d->dense_1.w8s = NULL;
+    d->output.w8 = NULL; d->output.w8s = NULL;
+    for (int i = 0; i < RC_NLAYERS; i++) {
+        d->gru[i].w_ih8 = NULL; d->gru[i].w_ih8s = NULL;
+        d->gru[i].w_hh8 = NULL; d->gru[i].w_hh8s = NULL;
+        d->glu[i].w8 = NULL; d->glu[i].w8s = NULL;
+        d->conv[i].w8 = NULL; d->conv[i].w8s = NULL;
+    }
+}
+
+void rc_encoder_free(rc_encoder *e)
+{
+    for (int i = 0; i < e->nqmem; i++) free(e->qmem[i]);
+    e->nqmem = 0;
+    enc_clear_int8(e);
+}
+
+void rc_decoder_free(rc_decoder *d)
+{
+    for (int i = 0; i < d->nqmem; i++) free(d->qmem[i]);
+    d->nqmem = 0;
+    dec_clear_int8(d);
+}
+
 int rc_encoder_quantize(rc_encoder *e)
 {
     int rc = 0;
@@ -159,7 +199,8 @@ int rc_encoder_quantize(rc_encoder *e)
         rc |= q_conv(&e->conv[i], e->qmem, &e->nqmem);
     }
     rc |= q_dense(&e->z_dense, e->qmem, &e->nqmem);
-    return rc ? -1 : 0;
+    if (rc) { rc_encoder_free(e); return -1; }  /* all-or-nothing: stay float */
+    return 0;
 }
 
 int rc_decoder_quantize(rc_decoder *d)
@@ -172,19 +213,8 @@ int rc_decoder_quantize(rc_decoder *d)
         rc |= q_conv(&d->conv[i], d->qmem, &d->nqmem);
     }
     rc |= q_dense(&d->output, d->qmem, &d->nqmem);
-    return rc ? -1 : 0;
-}
-
-void rc_encoder_free(rc_encoder *e)
-{
-    for (int i = 0; i < e->nqmem; i++) free(e->qmem[i]);
-    e->nqmem = 0;
-}
-
-void rc_decoder_free(rc_decoder *d)
-{
-    for (int i = 0; i < d->nqmem; i++) free(d->qmem[i]);
-    d->nqmem = 0;
+    if (rc) { rc_decoder_free(d); return -1; }
+    return 0;
 }
 
 void rc_encoder_reset(rc_encoder *e)

@@ -112,6 +112,12 @@ def make_train_step(model, lr: float = 3e-4, lr_decay_factor: float = 2.5e-5,
         def train_step(state: TrainState, features, H, G, key):
             if features.ndim == 4:          # (scan, B, T, F): per-step data
                 assert features.shape[0] == scan_steps, features.shape
+                # H/G must be stacked the same way: otherwise lax.scan
+                # would silently slice them along the batch axis whenever
+                # B happens to equal scan_steps
+                for name, arr in (("H", H), ("G", G)):
+                    if arr is not None:
+                        assert arr.shape[0] == scan_steps, (name, arr.shape)
 
                 def body(st, xs):
                     st2, m = inner_step(st, xs[0], xs[1], xs[2], key)

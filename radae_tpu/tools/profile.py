@@ -29,7 +29,8 @@ def _slope(fn, mkstate, n1=20, n2=100):
     return (t[n2] - t[n1]) / (n2 - n1)
 
 
-def train_breakdown(batches, T=240, remat=False, scan=8):
+def train_breakdown(batches, T=240, remat=False, scan=8,
+                    n1=2, n2=8, slopes=3):
     """Per-component training-step timings.
 
     Decomposes the train step into encoder fwd+bwd, decoder fwd+bwd,
@@ -73,7 +74,7 @@ def train_breakdown(batches, T=240, remat=False, scan=8):
         return (z ** 2).mean()
 
     def timed(chain, mkstate, per_call_iters):
-        dts = [_slope(chain, mkstate, n1=2, n2=8) for _ in range(3)]
+        dts = [_slope(chain, mkstate, n1=n1, n2=n2) for _ in range(slopes)]
         return float(np.median(dts)) / per_call_iters
 
     rows = []

@@ -349,7 +349,9 @@ def test_profile_train_breakdown_smoke():
     """The per-component training-step profiler must produce a positive,
     internally-consistent table (full grad >= encoder-only) at toy size."""
     from radae_tpu.tools.profile import train_breakdown
-    rows = train_breakdown([2], T=48, scan=2)
+    # toy size is noise-dominated: median of 5 slopes over longer chains
+    # keeps the two-point methodology honest without flaking
+    rows = train_breakdown([2], T=48, scan=2, n1=2, n2=16, slopes=5)
     row = rows[0]
     assert row["full step (+Adam)"] > 0
     assert row["full fwd+bwd (grad)"] > 0
