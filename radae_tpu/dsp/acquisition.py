@@ -146,13 +146,15 @@ class Acquisition:
         M, Ncp, Nmf, Fs = self.M, self.Ncp, self.Nmf, self.Fs
         assert len(rx) == 2 * Nmf + M + Ncp
 
-        # refresh 5% of the stats grid so sigma_r tracks evolving noise
+        # refresh 5% of the stats grid so sigma_r tracks evolving noise:
+        # gather the sampled windows from the strided view and update them
+        # with ONE (Nupdate, M) @ (M, F) matmul — same grid-as-matmul shape
+        # as detect_pilots (duplicate rows just write the same value twice)
         rxc = np.conj(rx)
         Nupdate = int(0.05 * self.Dt1.shape[0])
         ts = self._rng.integers(0, Nmf, Nupdate)
-        for t in ts:
-            self.Dt1[t, :] = rxc[t:t + M] @ self.p_w
-            self.Dt2[t, :] = rxc[t + Nmf:t + Nmf + M] @ self.p_w
+        self.Dt1[ts, :] = _frames_view(rxc, Nmf, M)[ts] @ self.p_w
+        self.Dt2[ts, :] = _frames_view(rxc[Nmf:], Nmf, M)[ts] @ self.p_w
 
         sigma_r1 = np.mean(np.abs(self.Dt1)) / np.sqrt(np.pi / 2)
         sigma_r2 = np.mean(np.abs(self.Dt2)) / np.sqrt(np.pi / 2)

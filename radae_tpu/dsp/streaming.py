@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import calibration
 from ..ops import cplx, ofdm
 from ..ops.cplx import C
 from ..ops import pilots as pilots_ops
@@ -65,9 +66,10 @@ class ReceiverOne:
         self.snrdB_3k_est = 0.0
         # straight-line SNR correction refit on THIS pipeline over 0-12 dB
         # (tools/est_snr.py refit_pipeline, 3 seeds, max resid 0.52 dB;
-        # analog of the reference's empirical fit, dsp.py:415-416)
-        self.m = 0.8745
-        self.c = 2.548
+        # analog of the reference's empirical fit, dsp.py:415-416).
+        # Single source of truth shared with native/snr_cal.h:
+        self.m = calibration.SNR_CAL_M
+        self.c = calibration.SNR_CAL_C
         self._jit_rx = jax.jit(self._rx)
         self._jit_rx_eoo = jax.jit(self._rx_eoo)
 

@@ -63,17 +63,27 @@ def main(argv=None):
     p.add_argument("--step", type=float, default=2.5)
     p.add_argument("--fading", action="store_true")
     p.add_argument("--nframes", type=int, default=50)
+    p.add_argument("--refit", action="store_true",
+                   help="refit m/c on THIS pipeline (refit_pipeline) and "
+                        "print the update instructions for "
+                        "radae_tpu/calibration.py")
     args = p.parse_args(argv)
+    if args.refit:
+        from .. import calibration
+        m, c, _, _ = refit_pipeline(verbose=True)
+        print(f"refit on this pipeline: m: {m:.4f} c: {c:.3f}")
+        print(f"deployed (radae_tpu/calibration.py): "
+              f"m: {calibration.SNR_CAL_M} c: {calibration.SNR_CAL_C}")
+        print("to deploy: edit SNR_CAL_M/SNR_CAL_C in "
+              "radae_tpu/calibration.py, then regenerate native/snr_cal.h "
+              "via calibration.write_native_header()")
+        return
     t, e = run_sweep(np.arange(args.first, args.last, args.step),
                      nframes=args.nframes, fading=args.fading, verbose=True)
     m, c = np.polyfit(t, e, 1)
     print(f"straight line fit: m: {m:.4f} c: {c:.3f}")
     print(f"(runtime correction applies snrdB_est = (est - c)/m;"
           f" deployed constants m=0.8070 c=2.513)")
-
-
-if __name__ == "__main__":
-    main()
 
 
 def refit_pipeline(snr3k_range=None, nframes=20, seed=0, verbose=False):
@@ -122,3 +132,7 @@ def refit_pipeline(snr3k_range=None, nframes=20, seed=0, verbose=False):
                   f"raw est {raw_dB:6.2f}")
     m, c = np.polyfit(targets, raws, 1)
     return float(m), float(c), np.array(targets), np.array(raws)
+
+
+if __name__ == "__main__":
+    main()

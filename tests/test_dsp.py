@@ -282,3 +282,34 @@ def test_est_cp_corr_low_tmax_no_crash(cfg, acq):
         assert np.isfinite(c.real) and np.isfinite(c.imag), tmax
         f = acq.est_cp_foff(rx, tmax, 0.0)
         assert np.isfinite(f), tmax
+
+
+def test_check_pilots_stats_refresh_matches_loop(cfg):
+    """The vectorised 5% stats-grid refresh in check_pilots must produce
+    the grid a per-row loop would (same RNG stream) up to BLAS
+    accumulation-order float noise, so the Dthresh statistics are
+    unchanged by the redesign."""
+    rng = np.random.default_rng(7)
+    n = 2 * cfg.Nmf + cfg.M + cfg.Ncp
+    rx = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+
+    a = Acquisition(cfg.Fs, cfg.Rs, cfg.M, cfg.Ncp, cfg.Nmf, cfg.p, cfg.pend)
+    b = Acquisition(cfg.Fs, cfg.Rs, cfg.M, cfg.Ncp, cfg.Nmf, cfg.p, cfg.pend)
+    a.detect_pilots(rx)
+    b.detect_pilots(rx)
+
+    rx2 = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    va, ea = a.check_pilots(rx2, tmax=40, fmax=1.0)
+
+    # loop reimplementation with the same RNG consumption on b
+    rxc = np.conj(rx2)
+    Nupdate = int(0.05 * b.Dt1.shape[0])
+    ts = b._rng.integers(0, cfg.Nmf, Nupdate)
+    for t in ts:
+        b.Dt1[t, :] = rxc[t:t + cfg.M] @ b.p_w
+        b.Dt2[t, :] = rxc[t + cfg.Nmf:t + cfg.Nmf + cfg.M] @ b.p_w
+
+    np.testing.assert_allclose(a.Dt1, b.Dt1, atol=1e-4)
+    np.testing.assert_allclose(a.Dt2, b.Dt2, atol=1e-4)
