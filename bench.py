@@ -105,13 +105,15 @@ def run_bench(batch: int, n_frames: int = 5, fused: bool = True,
 
     # fused: False = plain XLA; True = composite (XLA demod + fused
     # decoder kernel); "frame" = whole-frame kernel with manual rx DMA
-    # (demod+EQ+demap+decoder in ONE Pallas program, rx block in HBM)
-    if fused == "frame":
+    # (demod+EQ+demap+decoder in ONE Pallas program, rx block in HBM);
+    # "frame_vmem" = same kernel with the rx block pipelined into VMEM by
+    # the grid instead of hand-DMA'd
+    if fused in ("frame", "frame_vmem"):
         from radae_tpu.ops.fused_core import (make_fused_rx_frame_step,
                                               fused_rx_weights,
                                               decoder_state_zero)
         frame_step = make_fused_rx_frame_step(cfg, batch, tile=tile,
-                                              rx_dma=True)
+                                              rx_dma=(fused == "frame"))
         rx_step = lambda p, r, st: frame_step(p, r, *st)
         dec_params = tuple(jax.device_put(w)
                            for w in fused_rx_weights(dec_params_tree, cfg))
