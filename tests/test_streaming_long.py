@@ -273,3 +273,95 @@ def test_cp_guard_corrects_pilot_spacing_alias(flagship):
     assert resynced_frame is not None and \
         resynced_frame - inj_frame <= 25, (inj_frame, resynced_frame)
     assert abs(rx.fmax) < 2.0, rx.fmax
+
+
+SOAK_FRAMES_PER_OVER = 625          # 75 s per over; 4 overs ~ 300 s of signal
+
+
+def test_streaming_soak_mixed_conditions(flagship, clean_loss):
+    """~310 s continuous receiver session over FOUR overs separated by
+    2 s noise-only gaps, each over ending in an EOO, with per-over fade
+    class, SNR, and sample-clock offset (so the offset CHANGES mid-
+    session) plus a mid-over SNR step inside the first over.  This is the
+    product-like mixed-condition regression the reference's
+    single-condition 50 s ctests never exercise
+    (reference: CMakeLists.txt:313-417).  Gates: >=2 EOO detections,
+    every over re-acquired within budget, per-over decode fraction, and
+    per-over loss within the reference's noise-degradation budget
+    relative to the model's own clean decode."""
+    from radae_tpu.apps.rxe import RadaeRx
+    from radae_tpu.dsp.rrc import sample_clock_offset
+
+    params, feats, meta = flagship
+    rng = np.random.default_rng(11)
+    nf = SOAK_FRAMES_PER_OVER
+    overs = [
+        # (channel, snr_first_half, snr_second_half, ppm, budget, min_frac)
+        (None,  0.0, -3.0, 0,    0.15, 0.85),  # AWGN with mid-over SNR step
+        ("mpp", 2.0, 2.0,  100,  0.20, 0.70),
+        (None,  0.0, 0.0,  -100, 0.15, 0.85),  # clock offset flips sign
+        ("mpg", 3.0, 3.0,  0,    0.15, 0.70),
+    ]
+    GAP = 16000                     # 2 s of noise-only air between overs
+
+    pieces = []
+    bounds = []                     # (sig_start_sample, sig_end, ref, budget, frac)
+    pos = 0
+    for ch, s0, s1, ppm, budget, frac in overs:
+        stream, ref = _tx_long(params, feats, nf)
+        if ch:
+            stream = _fade(stream, ch, rng)
+        if ppm:
+            stream = sample_clock_offset(stream.astype(np.complex64), ppm)
+        S = (np.abs(stream[np.abs(stream) > 0]) ** 2).mean()
+
+        def mknoise(n, snr):
+            sigma2 = S / 10 ** (snr / 10) * 8000 / 3000
+            return np.sqrt(sigma2 / 2) * (rng.standard_normal(n)
+                                          + 1j * rng.standard_normal(n))
+
+        half = len(stream) // 2
+        piece = np.concatenate([
+            mknoise(GAP, s0),
+            stream[:half] + mknoise(half, s0),
+            stream[half:] + mknoise(len(stream) - half, s1),
+        ]).astype(np.complex64)
+        pieces.append(piece)
+        bounds.append((pos + GAP, pos + len(piece), ref, budget, frac))
+        pos += len(piece)
+    full = np.concatenate(pieces)
+
+    # one continuous receiver session across all four overs
+    rx = RadaeRx(params=params, auxdata=True, v=0)
+    floats_out = np.zeros(rx.get_n_floats_out(), np.float32)
+    frames = []                     # (start_sample, valid, rows-or-None)
+    eoo = sync_entries = 0
+    prev_state = "search"
+    ptr = 0
+    while ptr + rx.get_nin() <= len(full):
+        nin = rx.get_nin()
+        ret = rx.do_radae_rx(full[ptr:ptr + nin], floats_out)
+        frames.append((ptr, bool(ret & 1),
+                       floats_out.reshape(-1, 36).copy() if ret & 1 else None))
+        ptr += nin
+        if ret & 2:
+            eoo += 1
+        if prev_state != "sync" and rx.state == "sync":
+            sync_entries += 1
+        prev_state = rx.state
+
+    assert eoo >= 2, eoo                      # EOO path exercised repeatedly
+    assert sync_entries >= 4, sync_entries    # one (re-)acquisition per over
+
+    for k, (s_start, s_end, ref, budget, frac) in enumerate(bounds):
+        over = [(i, f) for i, f in enumerate(frames)
+                if s_start - 960 <= f[0] < s_end - 960]
+        i0 = over[0][0]
+        valid = [(i - i0, f[2]) for i, f in over if f[1]]
+        assert valid, f"over {k}: nothing decoded"
+        # re-acquire within 40 frames (4.8 s) of signal start: covers the
+        # EOO-missed worst case (3 s unsync hang) plus acquisition
+        assert valid[0][0] <= 40, (k, valid[0][0])
+        assert len(valid) >= frac * nf, (k, len(valid), frac * nf)
+        loss = _loss_segments(ref, valid, max_delay=45)
+        assert loss < clean_loss + budget, (k, loss, clean_loss, budget)
