@@ -46,23 +46,20 @@ CACHE = os.path.join(HERE, ".bench_cache.json")
 
 # Ladder of (batch, fused, tile, scan), cheapest compile first.  Each rung
 # reports immediately on completion; later rungs only improve the result.
-# Round-3 sweep (recovered relay): longer scans beat 32 (dispatch
-# amortises; 256 is the knee, 512 regresses), tile=384 edges 512 at
-# B=3072, and B=3072 is the largest reliably-compiling composite
-# (B=3584 compiled once but measured below 3072; tile=768 and B=4096
-# fail); best measured = 1.290M audio-s/s/chip.
+# Round-4 sweep: int8 VMEM-resident decoder weights beat f32 at every
+# batch (+5-6%; B=3072 tile=384 scan=256 = 1.372M audio-s/s/chip, the
+# headline; B=3584/4096 compile but measure lower, B=6144 fails).  The
+# whole-frame kernel is RETIRED from the ladder with a measured
+# comparison: after the round-4 lane-alignment fix it compiles and runs
+# (B=2048 tile=512 scan=32 = 1.03M) but trails the composite (1.24M at
+# the same batch) at every measured config — see RESULTS.md.
 LADDER = (
     (8,    False, 0,   1),    # compiles in seconds: banks a nonzero number
     (256,  False, 0,   8),    # small unfused scan: still cheap, ~100k+
     (1024, True,  512, 32),   # fused decoder kernel
-    (2048, True,  512, 128),  # 1.24M (round-3 sweep)
-    (3072, True,  384, 256),  # 1.29M headline config (round-3 sweep)
-    # whole-frame kernel (demod+EQ+demap+decoder in ONE Pallas program,
-    # rx block DMA'd from HBM): last because its Mosaic compile is the
-    # riskiest (HTTP 500 at every B in round 3) -- every earlier rung is
-    # already banked if it hangs, and the parent's deadline kills a
-    # wedged compile.
-    (2048, "frame", 512, 32),
+    (2048, "int8", 512, 128),  # 1.23M (round-4 sweep)
+    (3072, True,  384, 256),  # 1.29M f32 headline (round-3 sweep)
+    (3072, "int8", 384, 256),  # 1.37M int8 headline (round-4 sweep)
 )
 CHEAP_RUNGS = 2               # retry child only attempts LADDER[:CHEAP_RUNGS]
 
@@ -119,13 +116,17 @@ def run_bench(batch: int, n_frames: int = 5, fused: bool = True,
                            for w in fused_rx_weights(dec_params_tree, cfg))
         mkstate = lambda: decoder_state_zero(batch)
     else:
-        rx_step = make_streaming_rx_step(cfg, decoder, batch, fused=fused,
-                                         fused_tile=tile)
+        # fused="int8" = composite with int8 VMEM-resident decoder weights
+        quant = "int8" if fused == "int8" else None
+        rx_step = make_streaming_rx_step(cfg, decoder, batch,
+                                         fused=bool(fused),
+                                         fused_tile=tile, fused_quant=quant)
         if fused:
             from radae_tpu.ops.fused_core import (decoder_weights,
                                                   decoder_state_zero)
             dec_params = tuple(jax.device_put(w)
-                               for w in decoder_weights(dec_params_tree))
+                               for w in decoder_weights(dec_params_tree,
+                                                        quant=quant))
             mkstate = lambda: decoder_state_zero(batch)
         else:
             dec_params = device_put_tree(dec_params_tree)

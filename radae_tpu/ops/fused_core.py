@@ -27,12 +27,20 @@ from ..models.core import (
     FRAMES_PER_STEP)
 
 
-def _gru_step(w_ih, b_ih, w_hh, b_hh, x, h, cd=jnp.float32):
-    # weights pre-transposed to (in, out)
+def _gru_step(w_ih, b_ih, w_hh, b_hh, x, h, cd=jnp.float32,
+              s_ih=None, s_hh=None):
+    # weights pre-transposed to (in, out); s_* are per-output-column
+    # dequant scales when the weights are int8
     xg = jnp.dot(x.astype(cd), w_ih.astype(cd),
-                 preferred_element_type=jnp.float32) + b_ih
+                 preferred_element_type=jnp.float32)
     hg = jnp.dot(h.astype(cd), w_hh.astype(cd),
-                 preferred_element_type=jnp.float32) + b_hh
+                 preferred_element_type=jnp.float32)
+    if s_ih is not None:
+        xg = xg * s_ih
+    if s_hh is not None:
+        hg = hg * s_hh
+    xg = xg + b_ih
+    hg = hg + b_hh
     H = h.shape[-1]
     r = jax.nn.sigmoid(xg[:, :H] + hg[:, :H])
     z = jax.nn.sigmoid(xg[:, H:2 * H] + hg[:, H:2 * H])
@@ -41,18 +49,33 @@ def _gru_step(w_ih, b_ih, w_hh, b_hh, x, h, cd=jnp.float32):
 
 
 def _fused_weights(params: Dict[str, Any], side: str,
-                   dtype=jnp.float32):
+                   dtype=jnp.float32, quant=None):
     """Flatten the param tree into an ordered tuple of arrays + names.
 
     dtype=bfloat16 pre-casts the weights ONCE at load time: the MXU then
     consumes them natively at 2x f32 rate with f32 accumulation, and the
     VMEM-resident weight footprint halves.  (Casting per kernel call was
-    measured slower than f32 — the cast must happen here, not in-kernel.)"""
-    arrs, names = [], []
+    measured slower than f32 — the cast must happen here, not in-kernel.)
+
+    quant="int8" stores every matmul operand as int8 with per-output-
+    column absmax scales (the transpose of the C runtime's per-row
+    scheme, native/nnet.c rn_quantize_rows): VMEM weight footprint drops
+    4x and the kernel dequantizes by scaling the matmul OUTPUT — one
+    (1, out) multiply per dot instead of touching the (in, out) weight.
+    Returns (arrs, names, scales); scales is () unless quant."""
+    arrs, names, scales = [], [], []
 
     def add(name, a):
         a = jnp.asarray(a, jnp.float32)
         if a.ndim >= 2:                 # matmul operands only; biases f32
+            if quant == "int8":
+                w = np.asarray(a)
+                s = np.maximum(np.abs(w).max(axis=0) / 127.0, 1e-12)
+                q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+                arrs.append(jnp.asarray(q))
+                names.append(name)
+                scales.append(jnp.asarray(s[None, :], jnp.float32))
+                return
             a = a.astype(dtype)
         arrs.append(a)
         names.append(name)
@@ -77,18 +100,22 @@ def _fused_weights(params: Dict[str, Any], side: str,
         add(f"c{i}_b", c["b"])
     out_name = "output" if side == "decoder" else "z_dense"
     addT("out_w", params[out_name]["w"]); add("out_b", params[out_name]["b"])
-    return arrs, names
+    return arrs, names, scales
 
 
 def make_fused_decoder_step(latent_dim: int, feature_dim: int,
                             batch: int, tile: int = 128,
                             nz: int = 3, interpret: bool = False,
-                            compute_dtype=jnp.float32):
+                            compute_dtype=jnp.float32, quant=None):
     """Build (step, pack_state, unpack_state).
 
     step(weights_tuple, z (B, nz, latent), *state) ->
         (features (B, nz*4, F), *new_state)
     state = 5 GRU h (B, 96) + 5 conv hist (B, in_dim) (dilation-1 convs).
+
+    quant="int8": weights_tuple must come from decoder_weights(...,
+    quant="int8") — int8 matmul operands + trailing per-output-column
+    scale rows; each dot dequantizes its OUTPUT by one (1, out) multiply.
     """
     assert batch % tile == 0
     n_tiles = batch // tile
@@ -97,39 +124,50 @@ def make_fused_decoder_step(latent_dim: int, feature_dim: int,
     out_dim = FRAMES_PER_STEP * feature_dim
 
     NW = 2 + 5 * 8 + 2      # dense_1 + 5 x (gru4 + glu + conv3) + output
+    NS = 27 if quant else 0  # one scale row per 2-D operand
     cd = compute_dtype
 
     def kernel(z_ref, *refs):
         nw = NW
         w = refs[:nw]
-        state_in = refs[nw:nw + 10]
-        out_ref = refs[nw + 10]
-        state_out = refs[nw + 11:]
+        sc = refs[nw:nw + NS]
+        state_in = refs[nw + NS:nw + NS + 10]
+        out_ref = refs[nw + NS + 10]
+        state_out = refs[nw + NS + 11:]
 
         (d1_w, d1_b), rest = (w[0], w[1]), w[2:]
         h = [state_in[i][:] for i in range(5)]
         hist = [state_in[5 + i][:] for i in range(5)]
 
-        def dot(a, b):
-            return jnp.dot(a.astype(cd), b,
-                           preferred_element_type=jnp.float32)
+        def dot(a, b, si=None):
+            r = jnp.dot(a.astype(cd), b.astype(cd) if quant else b,
+                        preferred_element_type=jnp.float32)
+            if quant and si is not None:
+                r = r * sc[si][:]
+            return r
+
+        def s(si):
+            return sc[si][:] if quant else None
 
         for step in range(nz):
             z = z_ref[:, step, :]
-            x = jnp.tanh(dot(z, d1_w[:]) + d1_b[:])
+            x = jnp.tanh(dot(z, d1_w[:], 0) + d1_b[:])
             wi = 0
             for i in range(5):
                 wih, whh, bih, bhh, gluw, cw0, cw1, cb = rest[wi:wi + 8]
                 wi += 8
+                # scale order of appearance: d1, then per layer
+                # (wih, whh, glu, cw0, cw1), then out (see _fused_weights)
                 h[i] = _gru_step(wih[:], bih[:], whh[:], bhh[:], x, h[i],
-                                 cd=cd)
-                y = h[i] * jax.nn.sigmoid(dot(h[i], gluw[:]))
+                                 cd=cd, s_ih=s(1 + 5 * i), s_hh=s(2 + 5 * i))
+                y = h[i] * jax.nn.sigmoid(dot(h[i], gluw[:], 3 + 5 * i))
                 x = jnp.concatenate([x, y], axis=-1)
-                yc = jnp.tanh(dot(hist[i], cw0[:]) + dot(x, cw1[:]) + cb[:])
+                yc = jnp.tanh(dot(hist[i], cw0[:], 4 + 5 * i)
+                              + dot(x, cw1[:], 5 + 5 * i) + cb[:])
                 hist[i] = x
                 x = jnp.concatenate([x, yc], axis=-1)
             out_w, out_b = w[nw - 2], w[nw - 1]
-            feats = dot(x, out_w[:]) + out_b[:]
+            feats = dot(x, out_w[:], 26) + out_b[:]
             out_ref[:, step, :] = feats
 
         for i in range(5):
@@ -226,7 +264,7 @@ def fused_rx_weights(params, cfg, dtype=jnp.float32):
     """Demod consts + decoder weights with dense_1 rows permuted so the
     kernel can feed [re(0..39), im(0..39)] instead of interleaved
     re/im latents (the interleave is folded into the matmul)."""
-    arrs, names = _fused_weights(params, "decoder", dtype=dtype)
+    arrs, names, _ = _fused_weights(params, "decoder", dtype=dtype)
     d1 = np.asarray(arrs[0])                    # (latent, out), pre-transposed
     L = d1.shape[0]
     perm = np.concatenate([np.arange(0, L, 2), np.arange(1, L, 2)])
@@ -458,9 +496,10 @@ def decoder_state_zero(batch):
     return tuple(s)
 
 
-def decoder_weights(params, dtype=jnp.float32):
-    arrs, _ = _fused_weights(params, "decoder", dtype=dtype)
-    return tuple(arrs)
+def decoder_weights(params, dtype=jnp.float32, quant=None):
+    arrs, _, scales = _fused_weights(params, "decoder", dtype=dtype,
+                                     quant=quant)
+    return tuple(arrs) + tuple(scales)
 
 
 def make_fused_encoder_step(feature_dim: int, latent_dim: int,
@@ -577,5 +616,5 @@ def encoder_state_zero(batch):
 
 
 def encoder_weights(params, dtype=jnp.float32):
-    arrs, _ = _fused_weights(params, "encoder", dtype=dtype)
+    arrs, _, _ = _fused_weights(params, "encoder", dtype=dtype)
     return tuple(arrs)

@@ -28,7 +28,8 @@ from .ops import pilots as pilots_ops
 
 def make_streaming_rx_step(cfg: RADAEConfig, decoder: CoreDecoder,
                            batch: int, fused: bool = False,
-                           fused_tile: int = 512, fused_dtype=None):
+                           fused_tile: int = 512, fused_dtype=None,
+                           fused_quant=None):
     """Jitted batched streaming rx step.
 
     step(dec_params, rx_packed (B, Nmf+M+Ncp, 2), dec_state)
@@ -48,7 +49,8 @@ def make_streaming_rx_step(cfg: RADAEConfig, decoder: CoreDecoder,
         tile = min(fused_tile, batch)
         kw = {} if fused_dtype is None else {"compute_dtype": fused_dtype}
         dec_step = make_fused_decoder_step(cfg.latent_dim, cfg.feature_dim,
-                                           batch, tile=tile, **kw)
+                                           batch, tile=tile,
+                                           quant=fused_quant, **kw)
 
     def step(dec_params, rx_packed, dec_state):
         B = rx_packed.shape[0]

@@ -186,3 +186,63 @@ def test_fused_decoder_bf16_parity():
         scale = np.abs(np.asarray(f_ref)).mean()
         assert err.max() < 0.12 * max(scale, 1.0), (i, err.max(), scale)
         assert err.mean() < 0.01 * max(scale, 1.0), (i, err.mean())
+
+
+def test_fused_decoder_int8_parity():
+    """int8 VMEM-resident decoder weights (per-output-column scales,
+    VERDICT r3 next-step #3): the quantized kernel must track the float
+    layer-by-layer decoder within the same <0.01 loss budget the C int8
+    runtime is held to (tests/test_native.py::test_c_int8_decoder_parity);
+    the net is trained with 8-bit activation quantization noise
+    (reference: radae_base.py:80-81) precisely to tolerate this."""
+    from radae_tpu.models.core import distortion_loss
+
+    dec = CoreDecoder(80, 21)
+    params = dec.init(0)
+    B = 8
+    step = make_fused_decoder_step(80, 21, B, tile=4, interpret=True,
+                                   quant="int8")
+    w = decoder_weights(params, quant="int8")
+    assert any(np.asarray(a).dtype == np.int8 for a in w)
+    state = decoder_state_zero(B)
+    rng = np.random.default_rng(0)
+
+    ref_state = None
+    losses = []
+    for i in range(3):
+        z = np.tanh(rng.standard_normal((B, 3, 80))).astype(np.float32)
+        f_q, state = step(w, z, *state)
+        f_ref, ref_state = dec(params, z, key=None, state=ref_state)
+        losses.append(float(np.asarray(distortion_loss(
+            np.asarray(f_ref)[..., :20], np.asarray(f_q)[..., :20])).mean()))
+    assert max(losses) < 0.01, losses
+
+
+def test_single_stream_step_well_under_realtime_budget():
+    """The reference's real-time contract is ONE stream decoded in 120 ms
+    per modem frame (reference README.md:439).  Gate the B=1 streaming rx
+    step at a small fraction of that budget on the weakest target this CI
+    can measure (one CPU device); the real-chip numbers live in RESULTS.md
+    (0.01 ms/frame device time, ~26 ms including the relay tunnel RTT)."""
+    import time
+    import jax
+    from radae_tpu.config import flagship_config
+    from radae_tpu.runtime import make_streaming_rx_step
+
+    cfg = flagship_config()
+    dec = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
+    params = jax.device_put(dec.init(1))
+    step = make_streaming_rx_step(cfg, dec, 1)
+    rng = np.random.default_rng(0)
+    rx = jax.device_put(rng.standard_normal(
+        (1, cfg.Nmf + cfg.M + cfg.Ncp, 2)).astype(np.float32))
+    st = dec.zero_state(1)
+    f, st = step(params, rx, st)          # compile
+    np.asarray(f)
+    t0 = time.time()
+    n = 20
+    for _ in range(n):
+        f, st = step(params, rx, st)
+    np.asarray(f)
+    per_frame = (time.time() - t0) / n
+    assert per_frame < 0.060, per_frame   # half the 120 ms budget, on CPU

@@ -358,3 +358,22 @@ def test_profile_train_breakdown_smoke():
     # the full grad includes the encoder's work; with CPU timing noise at
     # toy sizes allow generous slack but catch sign/ordering bugs
     assert row["full fwd+bwd (grad)"] > 0.3 * row["encoder fwd+bwd"]
+
+
+def test_sharded_scaling_overhead_bounded():
+    """Measured sharding efficiency on the virtual CPU mesh (VERDICT r3
+    weak #3): at the SAME global batch, the 8-device-sharded eval forward
+    must not cost materially more wall-clock than the 1-device program —
+    on virtual devices sharing the host's cores, any large ratio is pure
+    partitioner/collective overhead and would carry over to a real
+    multi-chip mesh.  (The train step is excluded: its 8-shard gradient
+    psum on 4 physical cores is measured noise-dominated; the full curve
+    lives in RESULTS.md via tools/scaling.py.)"""
+    from radae_tpu.tools.scaling import measure_scaling
+    rows = measure_scaling(device_counts=(1, 8), B=16, T=48)
+    assert len(rows) == 2, rows
+    t1 = rows[0]["eval_s"]
+    t8 = rows[1]["eval_s"]
+    assert t8 < 1.5 * t1, (t1, t8)
+    # sharding must not change the computed loss (sanity on the measure)
+    assert abs(rows[0]["loss0"] - rows[1]["loss0"]) < 0.05, rows
