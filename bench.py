@@ -121,11 +121,15 @@ def run_bench(batch: int, n_frames: int = 5, fused: bool = True,
                            for w in fused_rx_weights(dec_params_tree, cfg))
         mkstate = lambda: decoder_state_zero(batch)
     else:
-        # fused="int8" = composite with int8 VMEM-resident decoder weights
-        quant = "int8" if fused == "int8" else None
+        # fused="int8" = composite with int8 VMEM-resident decoder weights;
+        # "int8bf16" additionally computes the matmuls in bf16
+        import jax.numpy as jnp
+        quant = "int8" if fused in ("int8", "int8bf16") else None
+        dtype = jnp.bfloat16 if fused == "int8bf16" else None
         rx_step = make_streaming_rx_step(cfg, decoder, batch,
                                          fused=bool(fused),
-                                         fused_tile=tile, fused_quant=quant)
+                                         fused_tile=tile, fused_quant=quant,
+                                         fused_dtype=dtype)
         if fused:
             from radae_tpu.ops.fused_core import (decoder_weights,
                                                   decoder_state_zero)
