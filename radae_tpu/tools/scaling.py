@@ -43,8 +43,13 @@ def _slope(call, n1=1, n2=3, reps=3):
     return float(np.median(dts))
 
 
-def measure_scaling(device_counts=(1, 2, 4, 8), B=32, T=120, seed=0):
-    """Returns rows of {devices, eval_s, train_s} at fixed GLOBAL batch B.
+def measure_scaling(device_counts=(1, 2, 4, 8), B=32, T=120, seed=0,
+                    weak=False):
+    """Returns rows of {devices, eval_s, train_s}.
+
+    weak=False: fixed GLOBAL batch B (strong scaling / overhead isolation).
+    weak=True: B is the PER-DEVICE batch; global batch grows with the
+    mesh, so flat time = perfect weak scaling.
 
     Run under the CPU platform with xla_force_host_platform_device_count
     >= max(device_counts) (tests/conftest.py does this)."""
@@ -60,8 +65,9 @@ def measure_scaling(device_counts=(1, 2, 4, 8), B=32, T=120, seed=0):
     model = RADAE(cfg)
     params_host = model.init(0)
     rng = np.random.default_rng(seed)
-    feats = (rng.standard_normal((B, T, cfg.feature_dim))
-             * 0.3).astype(np.float32)
+    Bmax = B * (max(device_counts) if weak else 1)
+    feats_all = (rng.standard_normal((Bmax, T, cfg.feature_dim))
+                 * 0.3).astype(np.float32)
     key = jnp.asarray(np.zeros(2, np.uint32))
 
     rows = []
@@ -69,7 +75,8 @@ def measure_scaling(device_counts=(1, 2, 4, 8), B=32, T=120, seed=0):
         if nd > len(jax.devices()):
             break
         mesh = make_mesh(nd)
-        fb = shard_batch(mesh, feats)
+        fb = shard_batch(mesh, feats_all[:B * nd] if weak
+                         else feats_all[:B])
         params = jax.device_put(params_host)
 
         # ---- eval-sweep forward: per-row loss, one compiled batch ----
@@ -118,10 +125,13 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--seq", type=int, default=120)
+    p.add_argument("--weak", action="store_true",
+                   help="--batch is per-device; global batch grows with "
+                        "the mesh (flat time = perfect weak scaling)")
     args = p.parse_args(argv)
     if jax.default_backend() != "cpu":
         jax.config.update("jax_platforms", "cpu")
-    rows = measure_scaling(B=args.batch, T=args.seq)
+    rows = measure_scaling(B=args.batch, T=args.seq, weak=args.weak)
     t1e, t1t = rows[0]["eval_s"], rows[0]["train_s"]
     print(f"{'devices':>8} {'eval ms':>9} {'vs 1dev':>8} "
           f"{'train ms':>9} {'vs 1dev':>8}")
