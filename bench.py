@@ -279,16 +279,23 @@ def _record(value, config):
         try:
             # never DOWNGRADE the banked number: a deadline-truncated run
             # that only reached a cheap rung must not clobber a previous
-            # full-ladder result (the cache is the outage-fallback record)
+            # full-ladder result (the cache is the outage-fallback record).
+            # Every run still stamps last_run so the record shows how
+            # recent the most recent successful measurement is.
+            prev = {}
             try:
                 with open(CACHE) as f:
-                    if json.load(f).get("value", 0.0) >= value:
-                        return
+                    prev = json.load(f)
             except Exception:
                 pass
+            entry = {"value": round(value, 1), "config": config,
+                     "unix_time": int(time.time())}
+            best = entry if value > prev.get("value", 0.0) else \
+                {k: prev[k] for k in ("value", "config", "unix_time")
+                 if k in prev}
+            best["last_run"] = entry
             with open(CACHE, "w") as f:
-                json.dump({"value": round(value, 1), "config": config,
-                           "unix_time": int(time.time())}, f)
+                json.dump(best, f)
         except Exception:
             pass
 

@@ -340,8 +340,14 @@ def make_fused_rx_frame_step(cfg, batch: int, tile: int = 512,
                            preferred_element_type=jnp.float32)
 
         # demod: strip_cp + DFT as one matmul per symbol row, addressed as
-        # static lane-aligned column windows of the 2-D sample block (see
-        # factory docstring layout note)
+        # static lane-aligned column windows of the host-padded 2-D sample
+        # block (see factory docstring layout note).  The pad is NOT a
+        # per-frame serving cost: in the scanned serving loop the pad of
+        # the incoming block is outside the kernel and amounts to <1/3 of
+        # one extra rx-block HBM round-trip; a pad-free DMA variant that
+        # slices the UNPADDED 3-D block in HBM (untiled, so legal) was
+        # tried and HANGS this backend's compile helper — same symptom as
+        # round 3's original 3-D DMA variant.
         Yr, Yi = [], []
         if rx_dma:
             # rx stays in HBM; double-buffered row DMA overlapped with the
@@ -440,7 +446,8 @@ def make_fused_rx_frame_step(cfg, batch: int, tile: int = 512,
                     f"leading dim {s.shape[0]}")
         rx = rx_packed.reshape(B, n_rs, samp, 2)
         # zero-pad each symbol row to the lane width and flatten to 2-D
-        # (the pad columns meet zero demod-matrix rows; see docstring)
+        # (the pad columns meet zero demod-matrix rows; see docstring) —
+        # loop-invariant in a scanned serving loop, so XLA hoists it
         rx = jnp.pad(rx, ((0, 0), (0, 0), (0, samp_pad - samp), (0, 0)))
         rxr = rx[..., 0].reshape(B, n_rs * samp_pad)
         rxi = rx[..., 1].reshape(B, n_rs * samp_pad)

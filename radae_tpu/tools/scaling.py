@@ -89,10 +89,12 @@ def measure_scaling(device_counts=(1, 2, 4, 8), B=32, T=120, seed=0,
         losses = np.asarray(fwd(params, fb, key))   # compile + complete
 
         def eval_call(n):
+            # chain each call's key on the previous result so the n
+            # executions stay strictly sequential under async dispatch
             k = key
-            out = None
+            out = losses
             for i in range(n):
-                k = k + 1
+                k = key + 1 + i + (out[0] * 0).astype(jnp.uint32)
                 out = fwd(params, fb, k)
             np.asarray(out)
 
@@ -129,8 +131,20 @@ def main(argv=None):
                    help="--batch is per-device; global batch grows with "
                         "the mesh (flat time = perfect weak scaling)")
     args = p.parse_args(argv)
-    if jax.default_backend() != "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    # force the CPU platform BEFORE any backend initialization (querying
+    # jax.default_backend() first would itself initialize and pin it),
+    # and ask for 8 virtual CPU devices
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass
+    if len(jax.devices()) < 8:
+        p.error(
+            "need 8 virtual CPU devices; relaunch with "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=8 (the jax "
+            "backend was already initialized with "
+            f"{len(jax.devices())} device(s))")
     rows = measure_scaling(B=args.batch, T=args.seq, weak=args.weak)
     t1e, t1t = rows[0]["eval_s"], rows[0]["train_s"]
     print(f"{'devices':>8} {'eval ms':>9} {'vs 1dev':>8} "
