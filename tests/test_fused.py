@@ -246,3 +246,40 @@ def test_single_stream_step_well_under_realtime_budget():
     np.asarray(f)
     per_frame = (time.time() - t0) / n
     assert per_frame < 0.060, per_frame   # half the 120 ms budget, on CPU
+
+
+def test_fused_runtime_rx_step_int8_tracks_unfused():
+    """The int8 composite rx step (the serving headline path:
+    make_streaming_rx_step(fused=True, fused_quant='int8')) must track
+    the float op-by-op receiver within the same <0.01 loss budget on the
+    decoded features."""
+    import jax
+    from radae_tpu.config import flagship_config
+    from radae_tpu.models.core import distortion_loss
+    from radae_tpu.runtime import make_streaming_rx_step
+
+    cfg = flagship_config()
+    dec = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
+    params = dec.init(0)
+    B = 4
+    rng = np.random.default_rng(2)
+    rx = rng.standard_normal((B, cfg.Nmf + cfg.M + cfg.Ncp, 2)).astype(
+        np.float32)
+
+    step_x = make_streaming_rx_step(cfg, dec, B, fused=False)
+    f_x, _ = step_x(params, rx, dec.zero_state(B))
+
+    from radae_tpu.ops import fused_core
+    orig = fused_core.make_fused_decoder_step
+    fused_core.make_fused_decoder_step = (
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    try:
+        step_q = make_streaming_rx_step(cfg, dec, B, fused=True,
+                                        fused_tile=4, fused_quant="int8")
+        w = fused_core.decoder_weights(params, quant="int8")
+        f_q, _ = step_q(tuple(w), rx, fused_core.decoder_state_zero(B))
+    finally:
+        fused_core.make_fused_decoder_step = orig
+    loss = float(np.asarray(distortion_loss(
+        np.asarray(f_x)[..., :20], np.asarray(f_q)[..., :20])).mean())
+    assert loss < 0.01, loss
