@@ -49,7 +49,7 @@ def _gru_step(w_ih, b_ih, w_hh, b_hh, x, h, cd=jnp.float32,
 
 
 def _fused_weights(params: Dict[str, Any], side: str,
-                   dtype=jnp.float32, quant=None):
+                   dtype=jnp.float32, quant=None, quant_exclude=()):
     """Flatten the param tree into an ordered tuple of arrays + names.
 
     dtype=bfloat16 pre-casts the weights ONCE at load time: the MXU then
@@ -68,13 +68,38 @@ def _fused_weights(params: Dict[str, Any], side: str,
     def add(name, a):
         a = jnp.asarray(a, jnp.float32)
         if a.ndim >= 2:                 # matmul operands only; biases f32
+            if quant == "int8" and any(name.endswith(x)
+                                       for x in quant_exclude):
+                # excluded matrices stay f32 but still emit a unit scale
+                # row so the kernel's positional scale map is unchanged
+                arrs.append(a)
+                names.append(name)
+                scales.append(jnp.ones((1, a.shape[1]), jnp.float32))
+                return
             if quant == "int8":
                 w = np.asarray(a)
-                s = np.maximum(np.abs(w).max(axis=0) / 127.0, 1e-12)
-                q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+                # per-column MSE-optimal scale (same search as the C
+                # runtime, native/nnet.c rn_quantize_rows): absmax clips
+                # nothing but wastes resolution on outliers; a few
+                # sub-absmax candidates roughly halve the column MSE
+                s0 = np.maximum(np.abs(w).max(axis=0) / 127.0, 1e-12)
+                cands = s0[None, :] * np.concatenate(
+                    [[1.0], 0.64 + 0.045 * np.arange(8)])[:, None]
+                best_s, best_m = None, None
+                for s in cands:
+                    q = np.clip(np.round(w / s), -127, 127)
+                    m = ((q * s - w) ** 2).sum(axis=0)
+                    if best_s is None:
+                        best_s, best_m = s.copy(), m
+                    else:
+                        take = m < best_m
+                        best_s[take] = s[take]
+                        best_m = np.minimum(best_m, m)
+                q = np.clip(np.round(w / best_s), -127,
+                            127).astype(np.int8)
                 arrs.append(jnp.asarray(q))
                 names.append(name)
-                scales.append(jnp.asarray(s[None, :], jnp.float32))
+                scales.append(jnp.asarray(best_s[None, :], jnp.float32))
                 return
             a = a.astype(dtype)
         arrs.append(a)
@@ -503,9 +528,11 @@ def decoder_state_zero(batch):
     return tuple(s)
 
 
-def decoder_weights(params, dtype=jnp.float32, quant=None):
+def decoder_weights(params, dtype=jnp.float32, quant=None,
+                    quant_exclude=()):
     arrs, _, scales = _fused_weights(params, "decoder", dtype=dtype,
-                                     quant=quant)
+                                     quant=quant,
+                                     quant_exclude=quant_exclude)
     return tuple(arrs) + tuple(scales)
 
 

@@ -87,7 +87,9 @@ def make_streaming_rx_step(cfg: RADAEConfig, decoder: CoreDecoder,
 
 def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
                           batch: int, n_frames: int,
-                          frange: float = 100.0, fstep: float = 2.5):
+                          frange: float = 100.0, fstep: float = 2.5,
+                          fused: bool = False, fused_tile: int = 512,
+                          fused_quant=None):
     """Whole-over batched receiver: ONE jitted program that acquires,
     aligns, derotates and decodes B independent raw IQ streams.
 
@@ -112,7 +114,12 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
 
     M, Ncp, Nmf, Fs, Ns = cfg.M, cfg.Ncp, cfg.Nmf, cfg.Fs, cfg.Ns
     detect = make_detect_pilots(cfg, batch, frange=frange, fstep=fstep)
-    step = make_streaming_rx_step(cfg, decoder, batch)
+    # fused=True runs the n_frames decode scan through the Pallas
+    # VMEM-resident decoder (optionally int8); dec_params must then be the
+    # fused weights tuple (ops.fused_core.decoder_weights(quant=...))
+    step = make_streaming_rx_step(cfg, decoder, batch, fused=fused,
+                                  fused_tile=fused_tile,
+                                  fused_quant=fused_quant)
     frame_len = (Ns + 2) * (M + Ncp)          # rx-step window incl. next pilot
 
     def rx(dec_params, rx_packed):
@@ -148,7 +155,11 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
                                     dec_state)
             return dec_state, feats
 
-        state0 = decoder.zero_state(B)
+        if fused:
+            from .ops.fused_core import decoder_state_zero
+            state0 = decoder_state_zero(B)
+        else:
+            state0 = decoder.zero_state(B)
         _, feats = jax.lax.scan(body, state0, f_idx)
         return jnp.swapaxes(feats, 0, 1), candidate, tmax, fmax
 

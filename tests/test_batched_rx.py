@@ -133,3 +133,68 @@ def test_batched_receiver_sharded_over_mesh(flagship):
     np.testing.assert_array_equal(np.asarray(t8), np.asarray(t1))
     np.testing.assert_allclose(np.asarray(f8), np.asarray(f1),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_batched_receiver_fused_int8_matches_unfused(flagship):
+    """The whole-over receiver with the Pallas int8 decoder in its scan
+    (serving-at-scale config) must not degrade decode QUALITY: the gate is
+    the end-to-end feature-loss delta vs the transmitted features (<0.01,
+    the reference's PASS/FAIL loss-delta form; measured -0.001 — int8 is
+    quality-neutral).  Raw float-vs-int8 output distance is additionally
+    bounded loosely: the net is trained with +-1/254-per-layer activation
+    quantization noise, so quantized outputs wander within that dither
+    ball (~0.015 here) without quality change."""
+    import jax.numpy as jnp
+    from radae_tpu.apps.txe import RadaeTx
+    from radae_tpu.models.core import CoreDecoder, distortion_loss
+    from radae_tpu.runtime import make_batched_receiver
+    from radae_tpu.utils.hostio import device_put_tree
+    from radae_tpu.ops import fused_core
+
+    params, feats = flagship
+    n_frames = 4
+    rows = 12
+    tx = RadaeTx(params=params, auxdata=True)
+    frames = [tx.do_radae_tx(feats[i * rows:(i + 1) * rows].flatten())
+              for i in range(n_frames + 1)]
+    over = np.concatenate(frames)
+    ref = feats[: n_frames * rows, :20]
+    cfg = tx.cfg
+    B = 4
+    T = len(over) + cfg.Nmf
+    streams = np.zeros((B, T), np.complex64)
+    streams[:, :len(over)] = over
+    packed = jnp.asarray(np.stack([streams.real, streams.imag], -1)
+                         .astype(np.float32))
+
+    decoder = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
+    rx_x = make_batched_receiver(cfg, decoder, B, n_frames)
+    f_x, cand, _, _ = rx_x(device_put_tree(params["decoder"]),
+                           packed)
+    assert np.asarray(cand).all()
+
+    orig = fused_core.make_fused_decoder_step
+    fused_core.make_fused_decoder_step = (
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    try:
+        rx_q = make_batched_receiver(cfg, decoder, B, n_frames,
+                                     fused=True, fused_tile=4,
+                                     fused_quant="int8")
+        w = tuple(fused_core.decoder_weights(params["decoder"],
+                                             quant="int8"))
+        f_q, cand_q, _, _ = rx_q(w, packed)
+    finally:
+        fused_core.make_fused_decoder_step = orig
+    assert np.asarray(cand_q).all()
+
+    def e2e_loss(f):
+        f = np.asarray(f).reshape(B, -1, cfg.feature_dim)[..., :20]
+        return float(np.asarray(distortion_loss(
+            np.repeat(ref[None], B, 0), f)).mean())
+
+    assert abs(e2e_loss(f_q) - e2e_loss(f_x)) < 0.01, \
+        (e2e_loss(f_q), e2e_loss(f_x))
+    dist = float(np.asarray(distortion_loss(
+        np.asarray(f_x).reshape(B, -1, cfg.feature_dim)[..., :20],
+        np.asarray(f_q).reshape(B, -1, cfg.feature_dim)[..., :20])).mean())
+    assert dist < 0.03, dist       # dither-ball bound, not a quality gate
