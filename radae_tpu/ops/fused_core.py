@@ -62,17 +62,27 @@ def _fused_weights(params: Dict[str, Any], side: str,
     scheme, native/nnet.c rn_quantize_rows): VMEM weight footprint drops
     4x and the kernel dequantizes by scaling the matmul OUTPUT — one
     (1, out) multiply per dot instead of touching the (in, out) weight.
+    quant_exclude: suffixes of flattened weight names (e.g. "whh",
+    "out_w", "g3_wih" — see the add/addT calls below for the full list)
+    kept at full precision under quant="int8"; a suffix matching no name
+    raises (it would otherwise silently quantize everything).
+
     Returns (arrs, names, scales); scales is () unless quant."""
     arrs, names, scales = [], [], []
+    matched = set()
 
     def add(name, a):
         a = jnp.asarray(a, jnp.float32)
         if a.ndim >= 2:                 # matmul operands only; biases f32
             if quant == "int8" and any(name.endswith(x)
                                        for x in quant_exclude):
-                # excluded matrices stay f32 but still emit a unit scale
-                # row so the kernel's positional scale map is unchanged
-                arrs.append(a)
+                # excluded matrices keep full precision (pre-cast to the
+                # compute dtype like the unquantized path) but still emit
+                # a unit scale row so the kernel's positional scale map
+                # is unchanged (they pay one redundant multiply per dot)
+                matched.update(x for x in quant_exclude
+                               if name.endswith(x))
+                arrs.append(a.astype(dtype))
                 names.append(name)
                 scales.append(jnp.ones((1, a.shape[1]), jnp.float32))
                 return
@@ -125,6 +135,11 @@ def _fused_weights(params: Dict[str, Any], side: str,
         add(f"c{i}_b", c["b"])
     out_name = "output" if side == "decoder" else "z_dense"
     addT("out_w", params[out_name]["w"]); add("out_b", params[out_name]["b"])
+    unmatched = set(quant_exclude) - matched
+    if quant == "int8" and unmatched:
+        raise ValueError(
+            f"quant_exclude suffixes matched no weight name: "
+            f"{sorted(unmatched)}; names are {names}")
     return arrs, names, scales
 
 

@@ -89,7 +89,7 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
                           batch: int, n_frames: int,
                           frange: float = 100.0, fstep: float = 2.5,
                           fused: bool = False, fused_tile: int = 512,
-                          fused_quant=None):
+                          fused_quant=None, fused_dtype=None):
     """Whole-over batched receiver: ONE jitted program that acquires,
     aligns, derotates and decodes B independent raw IQ streams.
 
@@ -119,11 +119,20 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
     # fused weights tuple (ops.fused_core.decoder_weights(quant=...))
     step = make_streaming_rx_step(cfg, decoder, batch, fused=fused,
                                   fused_tile=fused_tile,
-                                  fused_quant=fused_quant)
+                                  fused_quant=fused_quant,
+                                  fused_dtype=fused_dtype)
     frame_len = (Ns + 2) * (M + Ncp)          # rx-step window incl. next pilot
 
     def rx(dec_params, rx_packed):
         B, T = rx_packed.shape[0], rx_packed.shape[1]
+        if fused and B != batch:
+            # the Pallas decoder bakes grid=batch//tile and its output
+            # shapes at factory time; a different runtime batch would
+            # silently leave state rows unwritten (the unfused path is
+            # batch-dynamic and has no such constraint)
+            raise ValueError(
+                f"fused batched receiver was built for batch={batch} "
+                f"but got rx batch {B}")
         candidate, tmax, fmax, _, _ = detect(
             rx_packed[:, : 2 * Nmf + M + Ncp])
 

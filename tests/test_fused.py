@@ -283,3 +283,40 @@ def test_fused_runtime_rx_step_int8_tracks_unfused():
     loss = float(np.asarray(distortion_loss(
         np.asarray(f_x)[..., :20], np.asarray(f_q)[..., :20])).mean())
     assert loss < 0.01, loss
+
+
+def test_fused_decoder_int8_quant_exclude():
+    """quant_exclude keeps named matrices in full precision (unit scale
+    rows keep the kernel's positional map intact): excluding EVERYTHING
+    must reproduce the float kernel exactly, a partial exclusion must
+    still pass the int8 parity budget, and an unmatched suffix raises."""
+    import pytest
+
+    dec = CoreDecoder(80, 21)
+    params = dec.init(0)
+    B = 8
+    rng = np.random.default_rng(3)
+    z = np.tanh(rng.standard_normal((B, 3, 80))).astype(np.float32)
+
+    step_q = make_fused_decoder_step(80, 21, B, tile=4, interpret=True,
+                                     quant="int8")
+    step_f = make_fused_decoder_step(80, 21, B, tile=4, interpret=True)
+
+    all_mats = ("d1_w", "wih", "whh", "glu1_w", "glu2_w", "glu3_w",
+                "glu4_w", "glu5_w", "w0", "w1", "out_w")
+    w_all_excl = decoder_weights(params, quant="int8",
+                                 quant_exclude=all_mats)
+    f_excl, _ = step_q(w_all_excl, z, *decoder_state_zero(B))
+    f_ref, _ = step_f(decoder_weights(params), z, *decoder_state_zero(B))
+    np.testing.assert_allclose(np.asarray(f_excl), np.asarray(f_ref),
+                               rtol=1e-5, atol=1e-6)
+
+    w_part = decoder_weights(params, quant="int8", quant_exclude=("whh",))
+    f_part, _ = step_q(w_part, z, *decoder_state_zero(B))
+    from radae_tpu.models.core import distortion_loss
+    loss = float(np.asarray(distortion_loss(
+        np.asarray(f_ref)[..., :20], np.asarray(f_part)[..., :20])).mean())
+    assert loss < 0.01, loss
+
+    with pytest.raises(ValueError, match="matched no weight name"):
+        decoder_weights(params, quant="int8", quant_exclude=("w_ih",))
