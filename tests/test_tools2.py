@@ -374,6 +374,9 @@ def test_sharded_scaling_overhead_bounded():
     assert len(rows) == 2, rows
     t1 = rows[0]["eval_s"]
     t8 = rows[1]["eval_s"]
-    assert t8 < 1.5 * t1, (t1, t8)
+    # pathology bound, not a perf target: measured ~0.7-1.5x depending on
+    # machine load (toy size is noise-dominated); a partitioner
+    # regression would be integer factors over
+    assert t8 < 2.5 * t1, (t1, t8)
     # sharding must not change the computed loss (sanity on the measure)
     assert abs(rows[0]["loss0"] - rows[1]["loss0"]) < 0.05, rows
