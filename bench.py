@@ -122,21 +122,26 @@ def run_bench(batch: int, n_frames: int = 5, fused: bool = True,
         mkstate = lambda: decoder_state_zero(batch)
     else:
         # fused="int8" = composite with int8 VMEM-resident decoder weights;
-        # "int8bf16" additionally computes the matmuls in bf16
+        # "int8bf16" additionally computes the matmuls in bf16;
+        # "int8m"/"mergedf32" = the chain-merged kernel (17 instead of 27
+        # serial dots per z-step, identical numerics) with int8/f32 weights
         import jax.numpy as jnp
-        quant = "int8" if fused in ("int8", "int8bf16") else None
+        quant = "int8" if fused in ("int8", "int8bf16", "int8m") else None
         dtype = jnp.bfloat16 if fused == "int8bf16" else None
+        merged = fused in ("int8m", "mergedf32")
         rx_step = make_streaming_rx_step(cfg, decoder, batch,
                                          fused=bool(fused),
                                          fused_tile=tile, fused_quant=quant,
-                                         fused_dtype=dtype)
+                                         fused_dtype=dtype,
+                                         fused_merged=merged)
         if fused:
             from radae_tpu.ops.fused_core import (decoder_weights,
                                                   decoder_state_zero)
             dec_params = tuple(jax.device_put(w)
                                for w in decoder_weights(dec_params_tree,
-                                                        quant=quant))
-            mkstate = lambda: decoder_state_zero(batch)
+                                                        quant=quant,
+                                                        merged=merged))
+            mkstate = lambda: decoder_state_zero(batch, merged=merged)
         else:
             dec_params = device_put_tree(dec_params_tree)
             mkstate = lambda: decoder.zero_state(batch)

@@ -49,7 +49,8 @@ def _gru_step(w_ih, b_ih, w_hh, b_hh, x, h, cd=jnp.float32,
 
 
 def _fused_weights(params: Dict[str, Any], side: str,
-                   dtype=jnp.float32, quant=None, quant_exclude=()):
+                   dtype=jnp.float32, quant=None, quant_exclude=(),
+                   merged=False):
     """Flatten the param tree into an ordered tuple of arrays + names.
 
     dtype=bfloat16 pre-casts the weights ONCE at load time: the MXU then
@@ -66,6 +67,16 @@ def _fused_weights(params: Dict[str, Any], side: str,
     "out_w", "g3_wih" — see the add/addT calls below for the full list)
     kept at full precision under quant="int8"; a suffix matching no name
     raises (it would otherwise silently quantize everything).
+
+    merged=True (decoder only) emits the CHAIN-MERGED layout used by
+    make_fused_decoder_step(merged=True): per layer the GLU matrix is
+    concatenated column-wise with the NEXT-step hh projection into one
+    (H, 3H+H) operand ("g{i}_wgg" = [w_hh.T | glu]) and the two conv taps
+    into one (in, 2*out) operand ("c{i}_w" = [tap1 | tap0]).  Because the
+    int8 scales are per OUTPUT COLUMN, quantizing the concatenation is
+    bit-identical to quantizing the parts — the merged kernel reproduces
+    the unmerged kernel's numerics exactly; only the serial-matmul count
+    changes (27 -> 17 issues per z-step).
 
     Returns (arrs, names, scales); scales is () unless quant."""
     arrs, names, scales = [], [], []
@@ -119,9 +130,25 @@ def _fused_weights(params: Dict[str, Any], side: str,
         # pre-transpose to (in_dim, out_dim): the kernel computes x @ w
         add(name, np.ascontiguousarray(np.asarray(a).T))
 
+    if merged and side != "decoder":
+        raise ValueError("merged layout is decoder-only")
     addT("d1_w", params["dense_1"]["w"]); add("d1_b", params["dense_1"]["b"])
     for i in range(1, 6):
         g = params[f"gru{i}"]
+        c = params[f"conv{i}"]
+        if merged:
+            glu = params[f"glu{i}"]
+            v = np.asarray(glu["v"]); gg = np.asarray(glu["g"])
+            gw = gg[:, None] * v / np.linalg.norm(v, axis=1, keepdims=True)
+            addT(f"g{i}_wih", g["w_ih"])
+            add(f"g{i}_wgg", np.concatenate(
+                [np.asarray(g["w_hh"]).T, np.asarray(gw).T], axis=1))
+            add(f"g{i}_bih", g["b_ih"]); add(f"g{i}_bhh", g["b_hh"])
+            add(f"c{i}_w", np.concatenate(
+                [np.asarray(c["w"])[:, :, 1].T,
+                 np.asarray(c["w"])[:, :, 0].T], axis=1))
+            add(f"c{i}_b", c["b"])
+            continue
         addT(f"g{i}_wih", g["w_ih"]); addT(f"g{i}_whh", g["w_hh"])
         add(f"g{i}_bih", g["b_ih"]); add(f"g{i}_bhh", g["b_hh"])
         if side == "decoder":
@@ -146,7 +173,8 @@ def _fused_weights(params: Dict[str, Any], side: str,
 def make_fused_decoder_step(latent_dim: int, feature_dim: int,
                             batch: int, tile: int = 128,
                             nz: int = 3, interpret: bool = False,
-                            compute_dtype=jnp.float32, quant=None):
+                            compute_dtype=jnp.float32, quant=None,
+                            merged: bool = False):
     """Build (step, pack_state, unpack_state).
 
     step(weights_tuple, z (B, nz, latent), *state) ->
@@ -156,6 +184,21 @@ def make_fused_decoder_step(latent_dim: int, feature_dim: int,
     quant="int8": weights_tuple must come from decoder_weights(...,
     quant="int8") — int8 matmul operands + trailing per-output-column
     scale rows; each dot dequantizes its OUTPUT by one (1, out) multiply.
+
+    merged=True cuts the kernel's SERIAL matmul count 27 -> 17 per z-step
+    by merging off-critical-path projections into neighbouring dots
+    (weights/state must come from decoder_weights/decoder_state_zero with
+    merged=True).  The step is issue-latency-bound, not FLOP-bound — the
+    GRU hh-chain serialises every dot — so two always-available merges
+    buy time at bit-identical numerics (column-wise weight concat):
+      * h_i(k) feeds BOTH the GLU gate at step k and the hh projection of
+        step k+1 -> one (H, 3H+H) dot; the projected hh row rides the
+        state across frames (zero state ⇒ zero projection, b_hh re-added
+        at consumption, so the zero-state contract is unchanged).
+      * the conv input x(k) IS the conv history of step k+1 -> one
+        (in, 2*out) dot computes this step's tap-1 and next step's tap-0;
+        state carries the 32-wide projected tap instead of the up-to-704-
+        wide raw history (state shrinks ~4x).
     """
     assert batch % tile == 0
     n_tiles = batch // tile
@@ -163,9 +206,61 @@ def make_fused_decoder_step(latent_dim: int, feature_dim: int,
     cdims = _DEC_CONV_DIMS
     out_dim = FRAMES_PER_STEP * feature_dim
 
-    NW = 2 + 5 * 8 + 2      # dense_1 + 5 x (gru4 + glu + conv3) + output
-    NS = 27 if quant else 0  # one scale row per 2-D operand
+    # dense_1 + 5 x (gru4 + glu + conv3 | merged: gru4 + wgg + conv2) + out
+    NW = (2 + 5 * 6 + 2) if merged else (2 + 5 * 8 + 2)
+    n_state = 15 if merged else 10
+    NS = (17 if merged else 27) if quant else 0  # scale row per 2-D operand
     cd = compute_dtype
+
+    def kernel_merged(z_ref, *refs):
+        w = refs[:NW]
+        sc = refs[NW:NW + NS]
+        state_in = refs[NW + NS:NW + NS + n_state]
+        out_ref = refs[NW + NS + n_state]
+        state_out = refs[NW + NS + n_state + 1:]
+
+        (d1_w, d1_b), rest = (w[0], w[1]), w[2:]
+        h = [state_in[i][:] for i in range(5)]
+        hgp = [state_in[5 + i][:] for i in range(5)]
+        hpp = [state_in[10 + i][:] for i in range(5)]
+
+        def dot(a, b, si=None):
+            r = jnp.dot(a.astype(cd), b.astype(cd) if quant else b,
+                        preferred_element_type=jnp.float32)
+            if quant and si is not None:
+                r = r * sc[si][:]
+            return r
+
+        for step in range(nz):
+            z = z_ref[:, step, :]
+            x = jnp.tanh(dot(z, d1_w[:], 0) + d1_b[:])
+            wi = 0
+            for i in range(5):
+                wih, wgg, bih, bhh, cw, cb = rest[wi:wi + 6]
+                wi += 6
+                H = gdims[i][1]
+                co = cdims[i][1]
+                xg = dot(x, wih[:], 1 + 3 * i) + bih[:]
+                hg = hgp[i] + bhh[:]
+                r = jax.nn.sigmoid(xg[:, :H] + hg[:, :H])
+                zz = jax.nn.sigmoid(xg[:, H:2 * H] + hg[:, H:2 * H])
+                n = jnp.tanh(xg[:, 2 * H:] + r * hg[:, 2 * H:])
+                h[i] = (1.0 - zz) * n + zz * h[i]
+                gh = dot(h[i], wgg[:], 2 + 3 * i)    # [hg(k+1) | glu]
+                hgp[i] = gh[:, :3 * H]
+                y = h[i] * jax.nn.sigmoid(gh[:, 3 * H:])
+                x = jnp.concatenate([x, y], axis=-1)
+                cc = dot(x, cw[:], 3 + 3 * i)        # [tap1(k) | tap0(k+1)]
+                yc = jnp.tanh(hpp[i] + cc[:, :co] + cb[:])
+                hpp[i] = cc[:, co:]
+                x = jnp.concatenate([x, yc], axis=-1)
+            out_w, out_b = w[NW - 2], w[NW - 1]
+            out_ref[:, step, :] = dot(x, out_w[:], 16) + out_b[:]
+
+        for i in range(5):
+            state_out[i][:] = h[i]
+            state_out[5 + i][:] = hgp[i]
+            state_out[10 + i][:] = hpp[i]
 
     def kernel(z_ref, *refs):
         nw = NW
@@ -241,7 +336,7 @@ def make_fused_decoder_step(latent_dim: int, feature_dim: int,
                                      memory_space=pltpu.VMEM)
                         for s in state])
         res = pl.pallas_call(
-            kernel,
+            kernel_merged if merged else kernel,
             grid=(n_tiles,),
             in_specs=in_specs[:1] + in_specs[1:],
             out_specs=out_specs,
@@ -537,17 +632,27 @@ def make_fused_rx_frame_step(cfg, batch: int, tile: int = 512,
     return step
 
 
-def decoder_state_zero(batch):
+def decoder_state_zero(batch, merged=False):
     s = [jnp.zeros((batch, gh), jnp.float32) for _, gh in _DEC_GRU_DIMS]
-    s += [jnp.zeros((batch, cin), jnp.float32) for cin, _, _ in _DEC_CONV_DIMS]
+    if merged:
+        # projected next-step hh rows + projected conv tap-0 rows (both
+        # zero at zero h/history; biases are re-added at consumption)
+        s += [jnp.zeros((batch, 3 * gh), jnp.float32)
+              for _, gh in _DEC_GRU_DIMS]
+        s += [jnp.zeros((batch, co), jnp.float32)
+              for _, co, _ in _DEC_CONV_DIMS]
+    else:
+        s += [jnp.zeros((batch, cin), jnp.float32)
+              for cin, _, _ in _DEC_CONV_DIMS]
     return tuple(s)
 
 
 def decoder_weights(params, dtype=jnp.float32, quant=None,
-                    quant_exclude=()):
+                    quant_exclude=(), merged=False):
     arrs, _, scales = _fused_weights(params, "decoder", dtype=dtype,
                                      quant=quant,
-                                     quant_exclude=quant_exclude)
+                                     quant_exclude=quant_exclude,
+                                     merged=merged)
     return tuple(arrs) + tuple(scales)
 
 

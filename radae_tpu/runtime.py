@@ -29,7 +29,7 @@ from .ops import pilots as pilots_ops
 def make_streaming_rx_step(cfg: RADAEConfig, decoder: CoreDecoder,
                            batch: int, fused: bool = False,
                            fused_tile: int = 512, fused_dtype=None,
-                           fused_quant=None):
+                           fused_quant=None, fused_merged: bool = False):
     """Jitted batched streaming rx step.
 
     step(dec_params, rx_packed (B, Nmf+M+Ncp, 2), dec_state)
@@ -40,7 +40,9 @@ def make_streaming_rx_step(cfg: RADAEConfig, decoder: CoreDecoder,
 
     With fused=True the decoder runs as the Pallas VMEM-resident kernel
     (ops/fused_core.py); dec_params must then be the fused weights tuple
-    and dec_state the fused state tuple."""
+    and dec_state the fused state tuple (both built with the SAME
+    merged= flag as fused_merged here — the chain-merged kernel variant
+    with ~40% fewer serial matmul issues, see make_fused_decoder_step)."""
     Ns = cfg.Ns
     idx = pilots_ops.window3_index(cfg.Nc)
     pmat = pilots_ops.ls_pmat(cfg.w, cfg.Fs)
@@ -50,7 +52,8 @@ def make_streaming_rx_step(cfg: RADAEConfig, decoder: CoreDecoder,
         kw = {} if fused_dtype is None else {"compute_dtype": fused_dtype}
         dec_step = make_fused_decoder_step(cfg.latent_dim, cfg.feature_dim,
                                            batch, tile=tile,
-                                           quant=fused_quant, **kw)
+                                           quant=fused_quant,
+                                           merged=fused_merged, **kw)
 
     def step(dec_params, rx_packed, dec_state):
         B = rx_packed.shape[0]
@@ -89,7 +92,8 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
                           batch: int, n_frames: int,
                           frange: float = 100.0, fstep: float = 2.5,
                           fused: bool = False, fused_tile: int = 512,
-                          fused_quant=None, fused_dtype=None):
+                          fused_quant=None, fused_dtype=None,
+                          fused_merged: bool = False):
     """Whole-over batched receiver: ONE jitted program that acquires,
     aligns, derotates and decodes B independent raw IQ streams.
 
@@ -120,7 +124,8 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
     step = make_streaming_rx_step(cfg, decoder, batch, fused=fused,
                                   fused_tile=fused_tile,
                                   fused_quant=fused_quant,
-                                  fused_dtype=fused_dtype)
+                                  fused_dtype=fused_dtype,
+                                  fused_merged=fused_merged)
     frame_len = (Ns + 2) * (M + Ncp)          # rx-step window incl. next pilot
 
     def rx(dec_params, rx_packed):
@@ -137,20 +142,56 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
             rx_packed[:, : 2 * Nmf + M + Ncp])
 
         rxc = cplx.from_last(rx_packed)
-        # per-row freq derotation: exp(-j 2 pi fmax t / Fs)
-        t = jnp.arange(T, dtype=jnp.float32)[None, :]
-        ph = -2.0 * jnp.pi * fmax[:, None] * t / Fs
-        rxc = rxc * cplx.C(jnp.cos(ph), jnp.sin(ph))
-
-        # per-row time alignment via gather; tmax points at the first
-        # pilot, the rx step wants the window to start Ncp early
-        # (time_offset handling lives inside strip_cp)
+        # Per-row time alignment FIRST, as a barrel shifter: tmax points
+        # at the first pilot, the rx step wants the window Ncp early
+        # (time_offset handling lives inside strip_cp).  The shift
+        # s = tmax-Ncp < Nmf decomposes into log2(Nmf) conditional STATIC
+        # shifts selected by jnp.where on the shift's bits — no gather at
+        # all (a (B, T) take_along_axis was 90% of this program's device
+        # time; element gathers don't vectorise on the VPU, lane-aligned
+        # selects do).  Edge replication composes to exactly the old
+        # clamped-index semantics: after shifting by s the tail reads
+        # x[min(t+s, T-1)].
         start = jnp.maximum(tmax - Ncp, 0)
+        xr, xi = rxc.re, rxc.im
+        nbits = max(1, int(np.ceil(np.log2(Nmf))))
+
+        def shift(x, sh):
+            return jnp.concatenate(
+                [x[:, sh:],
+                 jnp.broadcast_to(x[:, -1:], (x.shape[0], sh))], axis=1)
+
+        for k in range(nbits):
+            sh = 1 << k
+            bit = (((start >> k) & 1) > 0)[:, None]
+            xr = jnp.where(bit, shift(xr, sh), xr)
+            xi = jnp.where(bit, shift(xi, sh), xi)
         n_keep = T - Nmf                       # worst-case usable tail
-        idx = start[:, None] + jnp.arange(n_keep, dtype=jnp.int32)[None, :]
-        idx = jnp.minimum(idx, T - 1)
-        aligned = cplx.C(jnp.take_along_axis(rxc.re, idx, axis=1),
-                         jnp.take_along_axis(rxc.im, idx, axis=1))
+        xr, xi = xr[:, :n_keep], xi[:, :n_keep]
+
+        # Per-row freq derotation AFTER alignment (commutes exactly: the
+        # absolute-time phase -2πf(t+s)/Fs splits into a per-row constant
+        # and a ramp).  The (B, n_keep) phasor ramp is the outer product
+        # of a 128-wide "lo" table and a ceil(n_keep/128)-wide "hi" table
+        # (t = 128·hi + lo), cutting sin/cos evaluations ~80x — the other
+        # half of this program's former device time.
+        theta = -2.0 * jnp.pi * fmax / Fs                     # (B,)
+        hi_n = -(-n_keep // 128)
+        a_lo = theta[:, None] * jnp.arange(128, dtype=jnp.float32)[None, :]
+        a_hi = theta[:, None] * (
+            128.0 * jnp.arange(hi_n, dtype=jnp.float32)[None, :]
+            + start[:, None].astype(jnp.float32))
+        cl, sl = jnp.cos(a_lo), jnp.sin(a_lo)                 # (B, 128)
+        ch, sh_ = jnp.cos(a_hi), jnp.sin(a_hi)                # (B, hi_n)
+        B_ = xr.shape[0]
+        ramp_r = (ch[:, :, None] * cl[:, None, :]
+                  - sh_[:, :, None] * sl[:, None, :]).reshape(
+                      B_, hi_n * 128)[:, :n_keep]
+        ramp_i = (ch[:, :, None] * sl[:, None, :]
+                  + sh_[:, :, None] * cl[:, None, :]).reshape(
+                      B_, hi_n * 128)[:, :n_keep]
+        aligned = cplx.C(xr * ramp_r - xi * ramp_i,
+                         xr * ramp_i + xi * ramp_r)
 
         # frame windows (B, n_frames, frame_len) by gather, then scan
         f_idx = (jnp.arange(n_frames, dtype=jnp.int32)[:, None] * Nmf
@@ -166,7 +207,7 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
 
         if fused:
             from .ops.fused_core import decoder_state_zero
-            state0 = decoder_state_zero(B)
+            state0 = decoder_state_zero(B, merged=fused_merged)
         else:
             state0 = decoder.zero_state(B)
         _, feats = jax.lax.scan(body, state0, f_idx)

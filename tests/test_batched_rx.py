@@ -198,3 +198,75 @@ def test_batched_receiver_fused_int8_matches_unfused(flagship):
         np.asarray(f_x).reshape(B, -1, cfg.feature_dim)[..., :20],
         np.asarray(f_q).reshape(B, -1, cfg.feature_dim)[..., :20])).mean())
     assert dist < 0.03, dist       # dither-ball bound, not a quality gate
+
+
+def test_barrel_shift_alignment_matches_gather_semantics():
+    """The receiver's gather-free alignment (log2(Nmf) conditional static
+    shifts + derotate-after-align phasor tables) must reproduce the
+    derotate-then-clamped-gather reference exactly (up to sin/cos
+    argument regrouping) for random per-row (tmax, fmax), including
+    tmax <= Ncp (zero shift) and near-maximal shifts."""
+    import jax.numpy as jnp
+    from radae_tpu.config import flagship_config
+    from radae_tpu.models.core import CoreDecoder
+    from radae_tpu.runtime import make_batched_receiver
+    from radae_tpu.ops import acquisition_op
+    from radae_tpu.utils.hostio import device_put_tree
+
+    cfg = flagship_config()
+    B, NF = 8, 2
+    T = cfg.Nmf + (NF + 1) * cfg.Nmf + cfg.Ncp + 2 * cfg.Nmf + cfg.M
+    rng = np.random.default_rng(7)
+    rx = (rng.standard_normal((B, T, 2)) * 0.3).astype(np.float32)
+
+    # pin detect() so both paths see identical (tmax, fmax), spanning the
+    # edge cases: zero shift, max shift Nmf-1, and odd/even bit patterns
+    tmax = np.array([0, 5, cfg.Ncp, cfg.Ncp + 1, 511, 512,
+                     cfg.Nmf - 1, 777], np.int32)[:B]
+    fmax = np.array([0.0, -47.5, 12.5, 40.0, -2.5, 25.0, 5.0, -30.0],
+                    np.float32)[:B]
+
+    def fake_detect_factory(cfg_, batch, **kw):
+        def detect(rx_packed):
+            return (jnp.ones((batch,), bool), jnp.asarray(tmax),
+                    jnp.asarray(fmax), jnp.zeros((batch,)),
+                    jnp.zeros((batch,)))
+        return detect
+
+    decoder = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
+    params = device_put_tree(decoder.init(0))
+
+    orig = acquisition_op.make_detect_pilots
+    acquisition_op.make_detect_pilots = fake_detect_factory
+    try:
+        rxf = make_batched_receiver(cfg, decoder, B, n_frames=NF)
+        feats_new, _, _, _ = rxf(params, jnp.asarray(rx))
+    finally:
+        acquisition_op.make_detect_pilots = orig
+
+    # reference: derotate whole buffer, clamped-index gather, decode with
+    # the same streaming step (the receiver's pre-redesign data path)
+    from radae_tpu.ops import cplx
+    from radae_tpu.runtime import make_streaming_rx_step
+    rxc = rx[..., 0] + 1j * rx[..., 1]
+    t = np.arange(T)
+    frame_len = (cfg.Ns + 2) * (cfg.M + cfg.Ncp)
+    step = make_streaming_rx_step(cfg, decoder, B)
+    n_keep = T - cfg.Nmf
+    aligned = np.zeros((B, n_keep), np.complex64)
+    for b in range(B):
+        der = rxc[b] * np.exp(-2j * np.pi * fmax[b] * t / cfg.Fs)
+        idx = np.minimum(max(int(tmax[b]) - cfg.Ncp, 0) + np.arange(n_keep),
+                         T - 1)
+        aligned[b] = der[idx]
+    state = decoder.zero_state(B)
+    outs = []
+    for f in range(NF):
+        win = aligned[:, f * cfg.Nmf: f * cfg.Nmf + frame_len]
+        w = np.stack([win.real, win.imag], -1).astype(np.float32)
+        feats, state = step(params, jnp.asarray(w), state)
+        outs.append(np.asarray(feats))
+    feats_ref = np.stack(outs, 1)
+
+    np.testing.assert_allclose(np.asarray(feats_new), feats_ref,
+                               rtol=2e-3, atol=2e-3)

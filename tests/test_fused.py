@@ -320,3 +320,84 @@ def test_fused_decoder_int8_quant_exclude():
 
     with pytest.raises(ValueError, match="matched no weight name"):
         decoder_weights(params, quant="int8", quant_exclude=("w_ih",))
+
+
+def test_fused_decoder_merged_parity_and_state():
+    """The chain-merged kernel (27 -> 17 serial dots per z-step by fusing
+    the GLU matmul with the next step's hh projection and the two conv
+    taps into one dot) must match the layer-by-layer decoder exactly —
+    the merges are column-wise weight concatenations, so the math is
+    unchanged, including the carried state across calls."""
+    dec = CoreDecoder(80, 21)
+    params = dec.init(0)
+    B = 8
+    step = make_fused_decoder_step(80, 21, B, tile=4, interpret=True,
+                                   merged=True)
+    w = decoder_weights(params, merged=True)
+    state = decoder_state_zero(B, merged=True)
+    rng = np.random.default_rng(0)
+
+    ref_state = None
+    for i in range(3):      # multi-step: carried projected state too
+        z = np.tanh(rng.standard_normal((B, 3, 80))).astype(np.float32)
+        f_fused, state = step(w, z, *state)
+        f_ref, ref_state = dec(params, z, key=None, state=ref_state)
+        np.testing.assert_allclose(np.asarray(f_fused), np.asarray(f_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_fused_decoder_merged_int8_matches_unmerged_int8():
+    """int8 scales are per OUTPUT COLUMN, so quantizing the merged
+    (concatenated) operands is bit-identical to quantizing the parts:
+    the merged int8 kernel must reproduce the unmerged int8 kernel."""
+    dec = CoreDecoder(80, 21)
+    params = dec.init(3)
+    B = 8
+    rng = np.random.default_rng(2)
+
+    step_u = make_fused_decoder_step(80, 21, B, tile=4, interpret=True,
+                                     quant="int8")
+    step_m = make_fused_decoder_step(80, 21, B, tile=4, interpret=True,
+                                     quant="int8", merged=True)
+    w_u = decoder_weights(params, quant="int8")
+    w_m = decoder_weights(params, quant="int8", merged=True)
+    st_u = decoder_state_zero(B)
+    st_m = decoder_state_zero(B, merged=True)
+    for i in range(2):
+        z = np.tanh(rng.standard_normal((B, 3, 80))).astype(np.float32)
+        f_u, st_u = step_u(w_u, z, *st_u)
+        f_m, st_m = step_m(w_m, z, *st_m)
+        np.testing.assert_allclose(np.asarray(f_m), np.asarray(f_u),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_rx_step_fused_merged_matches_unfused():
+    """fused_merged plumbed through the runtime streaming rx step."""
+    from radae_tpu.config import flagship_config
+    from radae_tpu.runtime import make_streaming_rx_step
+    from radae_tpu.ops import fused_core
+
+    cfg = flagship_config()
+    dec = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
+    params = dec.init(0)
+    B = 4
+    rng = np.random.default_rng(1)
+    rx = rng.standard_normal((B, cfg.Nmf + cfg.M + cfg.Ncp, 2)) \
+        .astype(np.float32)
+
+    step_x = make_streaming_rx_step(cfg, dec, B, fused=False)
+    f_x, _ = step_x(params, rx, dec.zero_state(B))
+
+    orig = fused_core.make_fused_decoder_step
+    fused_core.make_fused_decoder_step = (
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    try:
+        step_m = make_streaming_rx_step(cfg, dec, B, fused=True,
+                                        fused_tile=4, fused_merged=True)
+        w = fused_core.decoder_weights(params, merged=True)
+        f_m, _ = step_m(tuple(w), rx,
+                        fused_core.decoder_state_zero(B, merged=True))
+    finally:
+        fused_core.make_fused_decoder_step = orig
+    np.testing.assert_allclose(np.asarray(f_m), np.asarray(f_x),
+                               rtol=1e-4, atol=1e-5)
