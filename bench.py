@@ -46,25 +46,27 @@ CACHE = os.path.join(HERE, ".bench_cache.json")
 
 # Ladder of (batch, fused, tile, scan), cheapest compile first.  Each rung
 # reports immediately on completion; later rungs only improve the result.
-# Round-4 sweep: int8 VMEM-resident decoder weights beat f32 at every
-# batch (+5-6%; B=3072 tile=384 scan=256 = 1.372M audio-s/s/chip, the
-# headline; B=3584/4096 compile but measure lower, B=6144 fails).  The
-# whole-frame kernel is RETIRED from the ladder with a measured
-# comparison: after the round-4 lane-alignment fix it compiles and runs
-# (B=2048 tile=512 scan=32 = 1.03M) but trails the composite (1.24M at
-# the same batch) at every measured config — see RESULTS.md.
+# Round-4 sweep #2: the CHAIN-MERGED kernel (17 instead of 27 serial dots
+# per z-step, identical numerics — ops/fused_core.py merged=True) beats
+# everything: mergedf32 B=2048 tile=512 scan=256 = 1.85-1.92M
+# audio-s/s/chip (the headline; B=3072/1024 within 4%, tile=256 -15%,
+# B=4096 HTTP 500s in the compile helper).  Merged f32 > merged int8
+# (1.80M): with fewer serial dots the kernel is issue/VPU-latency-bound
+# and the dequant multiplies cost more than the VMEM savings buy; the
+# UNmerged kernel keeps the opposite ordering (int8 1.37M > f32 1.31M,
+# round-4 sweep #1).  The whole-frame kernel stays RETIRED (compiles
+# post-fix but trails the composite at every config — RESULTS.md).
 # Rung order: two instant-compile rungs bank a nonzero number, then go
 # STRAIGHT for the headline (slow relay windows can fit only one big
-# compile in the budget — round-4 measured init+2 cheap rungs alone at
-# ~390 s in a bad window); remaining rungs are fallbacks/filler for
+# compile in the budget); remaining rungs are fallbacks/filler for
 # healthy windows.
 LADDER = (
     (8,    False, 0,   1),    # compiles in seconds: banks a nonzero number
     (256,  False, 0,   8),    # small unfused scan: still cheap, ~600k
-    (3072, "int8", 384, 256),  # 1.37M int8 headline (round-4 sweep)
-    (1024, True,  512, 32),   # fused decoder kernel
-    (2048, "int8", 512, 128),  # 1.23M (round-4 sweep)
-    (3072, True,  384, 256),  # 1.29M f32 headline (round-3 sweep)
+    (2048, "mergedf32", 512, 256),  # 1.85-1.92M merged-kernel headline
+    (3072, "int8m", 384, 256),  # 1.78-1.80M merged int8
+    (3072, "int8", 384, 256),  # 1.35-1.39M round-4 #1 headline (fallback)
+    (3072, True,  384, 256),  # 1.29M f32 unmerged (round-3 sweep)
 )
 CHEAP_RUNGS = 2               # retry child only attempts LADDER[:CHEAP_RUNGS]
 
