@@ -301,8 +301,17 @@ def _record(value, config):
                 {k: prev[k] for k in ("value", "config", "unix_time")
                  if k in prev}
             best["last_run"] = entry
-            with open(CACHE, "w") as f:
-                json.dump(best, f)
+            # Serialize FIRST and publish with an atomic rename: a signal
+            # (e.g. the parent's own SIGALRM budget handler) landing in
+            # the middle of a streaming json.dump truncated this file
+            # mid-write once, and the next run then read a corrupt prev,
+            # defeating the never-downgrade guard.  rename() can't leave
+            # a partial file.
+            payload = json.dumps(best)
+            tmp = CACHE + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, CACHE)
         except Exception:
             pass
 
