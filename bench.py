@@ -76,7 +76,7 @@ CHEAP_RUNGS = 2               # retry child only attempts LADDER[:CHEAP_RUNGS]
 # --------------------------------------------------------------------------
 
 def run_bench(batch: int, n_frames: int = 5, fused: bool = True,
-              tile: int = 512, scan: int = 32):
+              tile: int = 512, scan: int = 32, fps: int = 1):
     """Steady-state decode throughput via the two-point slope method.
 
     The streaming receiver decodes modem frames back-to-back, so the
@@ -104,7 +104,7 @@ def run_bench(batch: int, n_frames: int = 5, fused: bool = True,
     # unit-power noise shaped like one modem frame + look-ahead symbol.
     # (Avoids compiling the tx path just to manufacture input.)
     rng = np.random.default_rng(0)
-    n_samp = (cfg.Ns + 2) * (cfg.M + cfg.Ncp)
+    n_samp = fps * cfg.Nmf + cfg.M + cfg.Ncp   # fps frames + closing pilot
     rx = (rng.standard_normal((batch, n_samp, 2)) * 0.5).astype(np.float32)
 
     # fused: False = plain XLA; True = composite (XLA demod + fused
@@ -135,7 +135,8 @@ def run_bench(batch: int, n_frames: int = 5, fused: bool = True,
                                          fused=bool(fused),
                                          fused_tile=tile, fused_quant=quant,
                                          fused_dtype=dtype,
-                                         fused_merged=merged)
+                                         fused_merged=merged,
+                                         frames_per_step=fps)
         if fused:
             from radae_tpu.ops.fused_core import (decoder_weights,
                                                   decoder_state_zero)
@@ -180,7 +181,7 @@ def run_bench(batch: int, n_frames: int = 5, fused: bool = True,
         for _ in range(3):
             t1, t2 = run_n(n1), run_n(n2)
             slopes.append((t2 - t1) / (n2 - n1))
-        return float(np.median(slopes)) / max(scan, 1)    # per frame
+        return float(np.median(slopes)) / (max(scan, 1) * fps)  # per frame
 
     # A relay stall during a t1 window can make a slope non-positive
     # (observed once: it floored dt and produced a 3e10 "result").  A

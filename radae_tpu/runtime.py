@@ -29,11 +29,12 @@ from .ops import pilots as pilots_ops
 def make_streaming_rx_step(cfg: RADAEConfig, decoder: CoreDecoder,
                            batch: int, fused: bool = False,
                            fused_tile: int = 512, fused_dtype=None,
-                           fused_quant=None, fused_merged: bool = False):
+                           fused_quant=None, fused_merged: bool = False,
+                           frames_per_step: int = 1):
     """Jitted batched streaming rx step.
 
-    step(dec_params, rx_packed (B, Nmf+M+Ncp, 2), dec_state)
-      -> (features (B, 12, feature_dim), new_state)
+    step(dec_params, rx_packed (B, fps*Nmf+M+Ncp, 2), dec_state)
+      -> (features (B, fps*12, feature_dim), new_state)
 
     Mirrors receiver_one + stateful decoder (reference: radae_rxe.py:236,
     304; dsp.py:487-512) batched over B independent streams.
@@ -42,8 +43,18 @@ def make_streaming_rx_step(cfg: RADAEConfig, decoder: CoreDecoder,
     (ops/fused_core.py); dec_params must then be the fused weights tuple
     and dec_state the fused state tuple (both built with the SAME
     merged= flag as fused_merged here — the chain-merged kernel variant
-    with ~40% fewer serial matmul issues, see make_fused_decoder_step)."""
+    with ~40% fewer serial matmul issues, see make_fused_decoder_step).
+
+    frames_per_step=N demodulates and decodes N consecutive modem frames
+    per call — bit-identical to N chained fps=1 calls (each frame's EQ
+    still uses ITS OWN two bracketing pilot rows; the shared boundary
+    pilot is the same DFT either way) but with 1/N the per-call/per-scan
+    overhead: one big DFT matmul, one pilot LS solve, one decoder kernel
+    invocation (nz = N*Nzmf) whose weights are read from HBM once per N
+    frames instead of once per frame."""
     Ns = cfg.Ns
+    fps = int(frames_per_step)
+    assert fps >= 1
     idx = pilots_ops.window3_index(cfg.Nc)
     pmat = pilots_ops.ls_pmat(cfg.w, cfg.Fs)
     if fused:
@@ -53,32 +64,45 @@ def make_streaming_rx_step(cfg: RADAEConfig, decoder: CoreDecoder,
         dec_step = make_fused_decoder_step(cfg.latent_dim, cfg.feature_dim,
                                            batch, tile=tile,
                                            quant=fused_quant,
-                                           merged=fused_merged, **kw)
+                                           merged=fused_merged,
+                                           nz=fps * cfg.Nzmf, **kw)
+    # symbol-row indices: pilots at f*(Ns+1) for f in 0..fps; data rows
+    # of frame f are f*(Ns+1)+1 .. f*(Ns+1)+Ns
+    pil_idx = tuple(f * (Ns + 1) for f in range(fps + 1))
+    dat_idx = np.concatenate([f * (Ns + 1) + 1 + np.arange(Ns)
+                              for f in range(fps)])
 
     def step(dec_params, rx_packed, dec_state):
         B = rx_packed.shape[0]
-        rx = cplx.from_last(rx_packed)                    # (B, Nmf+M+Ncp)
-        n_rs = rx.shape[1] // (cfg.M + cfg.Ncp)           # Ns + 2
+        rx = cplx.from_last(rx_packed)              # (B, fps*Nmf + M+Ncp)
+        n_rs = rx.shape[1] // (cfg.M + cfg.Ncp)     # fps*(Ns+1) + 1
+        assert n_rs == fps * (Ns + 1) + 1, (n_rs, fps)
         rx = rx.reshape(B, n_rs, cfg.M + cfg.Ncp)
         rx_dash = ofdm.strip_cp(rx, cfg.M, cfg.Ncp, cfg.time_offset)
-        rx_sym = ofdm.dft(rx_dash, cfg.Wfwd)              # (B, Ns+2, Nc)
+        rx_sym = ofdm.dft(rx_dash, cfg.Wfwd)        # (B, n_rs, Nc)
 
-        pilot_rows = rx_sym[:, (0, Ns + 1), :]            # (B, 2, Nc)
+        pilot_rows = rx_sym[:, pil_idx, :]          # (B, fps+1, Nc)
         rx_pilots = pilots_ops.est_pilots_ls(pilot_rows, cfg.P, idx, pmat,
                                              cfg.w, cfg.Fs)
-        slope = (rx_pilots[:, 1, :] - rx_pilots[:, 0, :]) * (1.0 / (Ns + 1))
-        steps = jnp.arange(1, Ns + 1, dtype=jnp.float32)[None, :, None]
-        rx_ch = rx_pilots[:, None, 0, :] + slope[:, None, :] * steps
-        data = rx_sym[:, 1:Ns + 1, :] * rx_ch.unit().conj()
+        p0 = rx_pilots[:, :-1, :]                   # (B, fps, Nc)
+        p1 = rx_pilots[:, 1:, :]
+        slope = (p1 - p0) * (1.0 / (Ns + 1))
+        steps = jnp.arange(1, Ns + 1, dtype=jnp.float32)[None, None, :, None]
+        rx_ch = p0[:, :, None, :] + slope[:, :, None, :] * steps
+        data = rx_sym[:, dat_idx, :].reshape(
+            (B, fps, Ns, cfg.Nc)) * rx_ch.unit().conj()
         if cfg.coarse_mag:
-            mag = jnp.sqrt(rx_pilots.abs2().mean(axis=(1, 2))) + 1e-6
+            # per frame, from its own two bracketing pilot rows (exactly
+            # the fps=1 math)
+            p2 = 0.5 * (p0.abs2().mean(axis=-1) + p1.abs2().mean(axis=-1))
+            mag = jnp.sqrt(p2) + 1e-6               # (B, fps)
             if cfg.bottleneck == 3:
                 mag = mag * float(np.abs(cfg.P[0])) / cfg.pilot_gain
-            data = data * (1.0 / mag)[:, None, None]
+            data = data * (1.0 / mag)[:, :, None, None]
 
         z_hat = ofdm.qpsk_demap(data.reshape(B, -1, cfg.latent_dim // 2))
         if fused:
-            z_hat = z_hat.reshape(B, cfg.Nzmf, cfg.latent_dim)
+            z_hat = z_hat.reshape(B, fps * cfg.Nzmf, cfg.latent_dim)
             features, dec_state = dec_step(dec_params, z_hat, *dec_state)
         else:
             features, dec_state = decoder(dec_params, z_hat, key=None,

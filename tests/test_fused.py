@@ -401,3 +401,55 @@ def test_streaming_rx_step_fused_merged_matches_unfused():
         fused_core.make_fused_decoder_step = orig
     np.testing.assert_allclose(np.asarray(f_m), np.asarray(f_x),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_rx_step_frames_per_step_matches_chained():
+    """frames_per_step=N must be bit-identical (to fp tolerance) to N
+    chained fps=1 steps: each frame's EQ uses its own bracketing pilot
+    rows, and the decoder state chains through z-steps regardless of the
+    call boundary."""
+    import jax.numpy as jnp
+    from radae_tpu.config import flagship_config
+    from radae_tpu.runtime import make_streaming_rx_step
+    from radae_tpu.ops import fused_core
+
+    cfg = flagship_config()
+    dec = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
+    params = dec.init(0)
+    B, fps = 4, 3
+    rng = np.random.default_rng(5)
+    # fps frames of contiguous stream + the closing pilot row
+    n_samp = fps * cfg.Nmf + cfg.M + cfg.Ncp
+    rx = rng.standard_normal((B, n_samp, 2)).astype(np.float32)
+
+    step1 = make_streaming_rx_step(cfg, dec, B, fused=False)
+    state = dec.zero_state(B)
+    outs = []
+    frame_win = cfg.Nmf + cfg.M + cfg.Ncp
+    for f in range(fps):
+        win = rx[:, f * cfg.Nmf: f * cfg.Nmf + frame_win]
+        feats, state = step1(params, jnp.asarray(win), state)
+        outs.append(np.asarray(feats))
+    ref = np.concatenate(outs, axis=1)
+
+    stepN = make_streaming_rx_step(cfg, dec, B, fused=False,
+                                   frames_per_step=fps)
+    featsN, _ = stepN(params, jnp.asarray(rx), dec.zero_state(B))
+    np.testing.assert_allclose(np.asarray(featsN), ref,
+                               rtol=1e-4, atol=1e-5)
+
+    # fused merged kernel path (interpret mode), nz = fps*Nzmf
+    orig = fused_core.make_fused_decoder_step
+    fused_core.make_fused_decoder_step = (
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    try:
+        stepF = make_streaming_rx_step(cfg, dec, B, fused=True,
+                                       fused_tile=4, fused_merged=True,
+                                       frames_per_step=fps)
+        w = fused_core.decoder_weights(params, merged=True)
+        featsF, _ = stepF(tuple(w), jnp.asarray(rx),
+                          fused_core.decoder_state_zero(B, merged=True))
+    finally:
+        fused_core.make_fused_decoder_step = orig
+    np.testing.assert_allclose(np.asarray(featsF), ref,
+                               rtol=1e-4, atol=1e-5)
