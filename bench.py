@@ -298,16 +298,21 @@ def _record(value, config):
                 pass
             entry = {"value": round(value, 1), "config": config,
                      "unix_time": int(time.time())}
-            best = entry if value > prev.get("value", 0.0) else \
+            best = dict(entry) if value > prev.get("value", 0.0) else \
                 {k: prev[k] for k in ("value", "config", "unix_time")
                  if k in prev}
+            # dict(entry) above is load-bearing: with best IS entry,
+            # the next line made the object self-referential and the old
+            # streaming json.dump wrote a prefix then raised "Circular
+            # reference detected" (swallowed) — every fresh-cache write
+            # was silently truncated at '"last_run": ', and the corrupt
+            # file then defeated the never-downgrade guard on all later
+            # runs.
             best["last_run"] = entry
-            # Serialize FIRST and publish with an atomic rename: a signal
-            # (e.g. the parent's own SIGALRM budget handler) landing in
-            # the middle of a streaming json.dump truncated this file
-            # mid-write once, and the next run then read a corrupt prev,
-            # defeating the never-downgrade guard.  rename() can't leave
-            # a partial file.
+            # Serialize FIRST and publish with an atomic rename: neither
+            # a mid-dump exception nor a signal (e.g. the parent's own
+            # SIGALRM budget handler) can leave a partial file behind a
+            # rename.
             payload = json.dumps(best)
             tmp = CACHE + ".tmp"
             with open(tmp, "w") as f:

@@ -45,3 +45,44 @@ def test_bench_emits_error_json_when_budget_expires_resultless():
     assert res["metric"] == "streaming_rx_decode"
     assert res["value"] == 0.0
     assert "error" in res
+
+
+def test_bench_cache_banking_atomic_and_never_downgrades(tmp_path,
+                                                         monkeypatch):
+    """_record must (a) never downgrade the banked best, (b) recover from
+    a corrupt (e.g. previously truncated) cache file, and (c) publish via
+    atomic rename so no reader can observe a partial write (a SIGALRM
+    mid-json.dump truncated the real cache once — see bench.py)."""
+    import importlib
+    import bench as bench_mod
+    bench = importlib.reload(bench_mod)
+
+    cache = tmp_path / "cache.json"
+    monkeypatch.setattr(bench, "CACHE", str(cache))
+    monkeypatch.delenv("BENCH_PLATFORM", raising=False)
+
+    bench._record(1_000_000.0, "cfg-big")
+    data = json.loads(cache.read_text())
+    assert data["value"] == 1_000_000.0
+
+    # smaller value must not clobber the banked best, only last_run
+    bench._best["value"] = None          # reset supervisor best
+    bench._record(5_000.0, "cfg-small")
+    data = json.loads(cache.read_text())
+    assert data["value"] == 1_000_000.0, data
+    assert data["last_run"]["value"] == 5_000.0
+
+    # corrupt cache (truncated write simulation): next bank must succeed
+    # and produce valid JSON again
+    cache.write_text('{"value": 1000000.0, "last_run": ')
+    bench._best["value"] = None
+    bench._record(7_000.0, "cfg-after-corruption")
+    data = json.loads(cache.read_text())
+    assert data["value"] == 7_000.0      # corrupt prev unreadable -> entry
+    assert not (tmp_path / "cache.json.tmp").exists()
+
+    # implausible values are discarded entirely
+    bench._best["value"] = None
+    bench._record(3e10, "cfg-artifact")
+    data = json.loads(cache.read_text())
+    assert data["value"] == 7_000.0
