@@ -30,6 +30,8 @@ CONFIGS = [
     ("mergedf32", 2048, 512, 128, 1),   # scan control for the fps=2 row
     ("mergedf32", 2048, 512, 64,  2),   # same frames/dispatch as scan=128
     ("mergedf32", 2048, 512, 256, 2),   # more frames/dispatch
+    ("mergedf32", 2048, 1024, 256, 1),  # bigger tile (fewer grid programs)
+    ("mergedf32", 2048, 512, 512, 1),   # bigger scan (less dispatch)
 ]
 
 for fused, batch, tile, scan, fps in CONFIGS:
