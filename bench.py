@@ -126,11 +126,15 @@ def run_bench(batch: int, n_frames: int = 5, fused: bool = True,
         # fused="int8" = composite with int8 VMEM-resident decoder weights;
         # "int8bf16" additionally computes the matmuls in bf16;
         # "int8m"/"mergedf32" = the chain-merged kernel (17 instead of 27
-        # serial dots per z-step, identical numerics) with int8/f32 weights
+        # serial dots per z-step, identical numerics) with int8/f32 weights;
+        # "padf32"/"padi8" = the chain-merged kernel with the padded
+        # scratch-x layout (growing-concat copies eliminated)
         import jax.numpy as jnp
-        quant = "int8" if fused in ("int8", "int8bf16", "int8m") else None
+        quant = ("int8" if fused in ("int8", "int8bf16", "int8m", "padi8")
+                 else None)
         dtype = jnp.bfloat16 if fused == "int8bf16" else None
-        merged = fused in ("int8m", "mergedf32")
+        merged = ("pad" if fused in ("padf32", "padi8")
+                  else fused in ("int8m", "mergedf32"))
         rx_step = make_streaming_rx_step(cfg, decoder, batch,
                                          fused=bool(fused),
                                          fused_tile=tile, fused_quant=quant,

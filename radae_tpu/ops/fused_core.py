@@ -78,6 +78,16 @@ def _fused_weights(params: Dict[str, Any], side: str,
     the unmerged kernel's numerics exactly; only the serial-matmul count
     changes (27 -> 17 issues per z-step).
 
+    merged="pad" additionally scatters the ROWS of every x-consuming
+    operand (g{i}_wih, c{i}_w, out_w) onto 128-aligned segment starts
+    with zero rows in the gaps, matching the padded scratch-x layout of
+    make_fused_decoder_step(merged="pad"): the kernel stores each x
+    segment once into a lane-aligned VMEM scratch window instead of
+    re-copying the whole growing concat vector twice per layer.  Zero
+    rows contribute exact 0.0 to the f32-accumulated dots (and quantize
+    to int8 zeros), so numerics stay bit-identical to merged=True; only
+    the dot in-dims grow (96..736 -> 128..1408 on the x operands).
+
     Returns (arrs, names, scales); scales is () unless quant."""
     arrs, names, scales = [], [], []
     matched = set()
@@ -132,6 +142,26 @@ def _fused_weights(params: Dict[str, Any], side: str,
 
     if merged and side != "decoder":
         raise ValueError("merged layout is decoder-only")
+    pad = merged == "pad"
+
+    def _pad_rows(w, widths):
+        # scatter row blocks (heights `widths`, the x segments the operand
+        # consumes) onto 128-aligned starts; gap rows are exact zeros
+        out = np.zeros((128 * len(widths), w.shape[1]), np.float32)
+        r = 0
+        for j, wd in enumerate(widths):
+            out[128 * j:128 * j + wd] = w[r:r + wd]
+            r += wd
+        assert r == w.shape[0], (r, w.shape)
+        return out
+
+    def _xsegs(n):
+        # x segment widths after n (y, yc) appends: x0 then per-layer
+        # GLU output (H) and conv output
+        return ([_DEC_GRU_DIMS[0][0]]
+                + [v for j in range(n)
+                   for v in (_DEC_GRU_DIMS[j][1], _DEC_CONV_DIMS[j][1])])
+
     addT("d1_w", params["dense_1"]["w"]); add("d1_b", params["dense_1"]["b"])
     for i in range(1, 6):
         g = params[f"gru{i}"]
@@ -140,13 +170,18 @@ def _fused_weights(params: Dict[str, Any], side: str,
             glu = params[f"glu{i}"]
             v = np.asarray(glu["v"]); gg = np.asarray(glu["g"])
             gw = gg[:, None] * v / np.linalg.norm(v, axis=1, keepdims=True)
-            addT(f"g{i}_wih", g["w_ih"])
+            wih_t = np.ascontiguousarray(np.asarray(g["w_ih"]).T)
+            add(f"g{i}_wih",
+                _pad_rows(wih_t, _xsegs(i - 1)) if pad else wih_t)
             add(f"g{i}_wgg", np.concatenate(
                 [np.asarray(g["w_hh"]).T, np.asarray(gw).T], axis=1))
             add(f"g{i}_bih", g["b_ih"]); add(f"g{i}_bhh", g["b_hh"])
-            add(f"c{i}_w", np.concatenate(
+            cw = np.concatenate(
                 [np.asarray(c["w"])[:, :, 1].T,
-                 np.asarray(c["w"])[:, :, 0].T], axis=1))
+                 np.asarray(c["w"])[:, :, 0].T], axis=1)
+            add(f"c{i}_w",
+                _pad_rows(cw, _xsegs(i - 1) + [_DEC_GRU_DIMS[i - 1][1]])
+                if pad else cw)
             add(f"c{i}_b", c["b"])
             continue
         addT(f"g{i}_wih", g["w_ih"]); addT(f"g{i}_whh", g["w_hh"])
@@ -161,7 +196,13 @@ def _fused_weights(params: Dict[str, Any], side: str,
         addT(f"c{i}_w1", np.asarray(c["w"])[:, :, 1])
         add(f"c{i}_b", c["b"])
     out_name = "output" if side == "decoder" else "z_dense"
-    addT("out_w", params[out_name]["w"]); add("out_b", params[out_name]["b"])
+    if pad:
+        out_t = np.ascontiguousarray(np.asarray(params[out_name]["w"]).T)
+        add("out_w", _pad_rows(out_t, _xsegs(5)))
+        add("out_b", params[out_name]["b"])
+    else:
+        addT("out_w", params[out_name]["w"])
+        add("out_b", params[out_name]["b"])
     unmatched = set(quant_exclude) - matched
     if quant == "int8" and unmatched:
         raise ValueError(
@@ -199,12 +240,25 @@ def make_fused_decoder_step(latent_dim: int, feature_dim: int,
         (in, 2*out) dot computes this step's tap-1 and next step's tap-0;
         state carries the 32-wide projected tap instead of the up-to-704-
         wide raw history (state shrinks ~4x).
+
+    merged="pad" = the chain-merged kernel with a PADDED SCRATCH-X
+    layout: instead of re-copying the growing concat vector twice per
+    layer (O(width^2) VPU copy work across the stack, part of every
+    serial dot-stage's ~3.5us floor), each x segment is stored ONCE into
+    a 128-aligned window of a VMEM scratch buffer and every x-consuming
+    dot reads a lane-aligned prefix slice of it.  Weights must come from
+    decoder_weights(merged="pad") (zero rows at the pad gaps keep the
+    numerics bit-identical to merged=True); segments are zero-padded to
+    the full 128 window on store so no uninitialised VMEM is ever read.
     """
     assert batch % tile == 0
     n_tiles = batch // tile
     gdims = _DEC_GRU_DIMS
     cdims = _DEC_CONV_DIMS
     out_dim = FRAMES_PER_STEP * feature_dim
+    pad = merged == "pad"
+    SEG = 128                        # scratch-x segment stride (lane width)
+    n_seg = 1 + 2 * len(gdims)       # x0 + per-layer (y, yc)
 
     # dense_1 + 5 x (gru4 + glu + conv3 | merged: gru4 + wgg + conv2) + out
     NW = (2 + 5 * 6 + 2) if merged else (2 + 5 * 8 + 2)
@@ -213,6 +267,9 @@ def make_fused_decoder_step(latent_dim: int, feature_dim: int,
     cd = compute_dtype
 
     def kernel_merged(z_ref, *refs):
+        if pad:
+            xs = refs[-1]                        # VMEM scratch (tile, 1408)
+            refs = refs[:-1]
         w = refs[:NW]
         sc = refs[NW:NW + NS]
         state_in = refs[NW + NS:NW + NS + n_state]
@@ -231,16 +288,25 @@ def make_fused_decoder_step(latent_dim: int, feature_dim: int,
                 r = r * sc[si][:]
             return r
 
+        def put(idx, v):
+            # full-window store (value zero-padded to SEG) so pad columns
+            # never hold stale VMEM data
+            xs[:, SEG * idx:SEG * (idx + 1)] = jnp.pad(
+                v, ((0, 0), (0, SEG - v.shape[-1])))
+
         for step in range(nz):
             z = z_ref[:, step, :]
             x = jnp.tanh(dot(z, d1_w[:], 0) + d1_b[:])
+            if pad:
+                put(0, x)
             wi = 0
             for i in range(5):
                 wih, wgg, bih, bhh, cw, cb = rest[wi:wi + 6]
                 wi += 6
                 H = gdims[i][1]
                 co = cdims[i][1]
-                xg = dot(x, wih[:], 1 + 3 * i) + bih[:]
+                xin = xs[:, :SEG * (2 * i + 1)] if pad else x
+                xg = dot(xin, wih[:], 1 + 3 * i) + bih[:]
                 hg = hgp[i] + bhh[:]
                 r = jax.nn.sigmoid(xg[:, :H] + hg[:, :H])
                 zz = jax.nn.sigmoid(xg[:, H:2 * H] + hg[:, H:2 * H])
@@ -249,13 +315,22 @@ def make_fused_decoder_step(latent_dim: int, feature_dim: int,
                 gh = dot(h[i], wgg[:], 2 + 3 * i)    # [hg(k+1) | glu]
                 hgp[i] = gh[:, :3 * H]
                 y = h[i] * jax.nn.sigmoid(gh[:, 3 * H:])
-                x = jnp.concatenate([x, y], axis=-1)
-                cc = dot(x, cw[:], 3 + 3 * i)        # [tap1(k) | tap0(k+1)]
+                if pad:
+                    put(2 * i + 1, y)
+                    cin = xs[:, :SEG * (2 * i + 2)]
+                else:
+                    x = jnp.concatenate([x, y], axis=-1)
+                    cin = x
+                cc = dot(cin, cw[:], 3 + 3 * i)      # [tap1(k) | tap0(k+1)]
                 yc = jnp.tanh(hpp[i] + cc[:, :co] + cb[:])
                 hpp[i] = cc[:, co:]
-                x = jnp.concatenate([x, yc], axis=-1)
+                if pad:
+                    put(2 * i + 2, yc)
+                else:
+                    x = jnp.concatenate([x, yc], axis=-1)
             out_w, out_b = w[NW - 2], w[NW - 1]
-            out_ref[:, step, :] = dot(x, out_w[:], 16) + out_b[:]
+            out_in = xs[:, :SEG * n_seg] if pad else x
+            out_ref[:, step, :] = dot(out_in, out_w[:], 16) + out_b[:]
 
         for i in range(5):
             state_out[i][:] = h[i]
@@ -341,6 +416,8 @@ def make_fused_decoder_step(latent_dim: int, feature_dim: int,
             in_specs=in_specs[:1] + in_specs[1:],
             out_specs=out_specs,
             out_shape=out_shapes,
+            scratch_shapes=([pltpu.VMEM((tile, SEG * n_seg), jnp.float32)]
+                            if pad else []),
             interpret=interpret,
         )(z, *weights, *state)
         feats, new_state = res[0], res[1:]

@@ -371,6 +371,38 @@ def test_fused_decoder_merged_int8_matches_unmerged_int8():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_fused_decoder_merged_pad_matches_merged():
+    """merged="pad" (scratch-x layout: x segments stored once into
+    128-aligned VMEM windows, weights row-scattered with zero rows at
+    the gaps) is the same math as merged=True — zero rows add exact
+    0.0 to the dots, though the wider accumulation reassociates f32
+    sums (~1e-6 relative).  Checked f32 and int8, with carried state
+    across calls."""
+    dec = CoreDecoder(80, 21)
+    params = dec.init(5)
+    B = 8
+    rng = np.random.default_rng(7)
+
+    for quant in (None, "int8"):
+        step_m = make_fused_decoder_step(80, 21, B, tile=4, interpret=True,
+                                         quant=quant, merged=True)
+        step_p = make_fused_decoder_step(80, 21, B, tile=4, interpret=True,
+                                         quant=quant, merged="pad")
+        w_m = decoder_weights(params, quant=quant, merged=True)
+        w_p = decoder_weights(params, quant=quant, merged="pad")
+        st_m = decoder_state_zero(B, merged=True)
+        st_p = decoder_state_zero(B, merged="pad")
+        for i in range(2):
+            z = np.tanh(rng.standard_normal((B, 3, 80))).astype(np.float32)
+            f_m, st_m = step_m(w_m, z, *st_m)
+            f_p, st_p = step_p(w_p, z, *st_p)
+            np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_m),
+                                       rtol=1e-4, atol=1e-5)
+        for a, b in zip(st_p, st_m):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
 def test_streaming_rx_step_fused_merged_matches_unfused():
     """fused_merged plumbed through the runtime streaming rx step."""
     from radae_tpu.config import flagship_config
