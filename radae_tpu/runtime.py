@@ -29,7 +29,7 @@ from .ops import pilots as pilots_ops
 def make_streaming_rx_step(cfg: RADAEConfig, decoder: CoreDecoder,
                            batch: int, fused: bool = False,
                            fused_tile: int = 512, fused_dtype=None,
-                           fused_quant=None, fused_merged: bool = False,
+                           fused_quant=None, fused_merged=False,
                            frames_per_step: int = 1):
     """Jitted batched streaming rx step.
 
@@ -42,8 +42,9 @@ def make_streaming_rx_step(cfg: RADAEConfig, decoder: CoreDecoder,
     With fused=True the decoder runs as the Pallas VMEM-resident kernel
     (ops/fused_core.py); dec_params must then be the fused weights tuple
     and dec_state the fused state tuple (both built with the SAME
-    merged= flag as fused_merged here — the chain-merged kernel variant
-    with ~40% fewer serial matmul issues, see make_fused_decoder_step).
+    merged= flag as fused_merged here — True for the chain-merged kernel
+    variant with ~40% fewer serial matmul issues, "pad" for chain-merged
+    plus the padded scratch-x layout; see make_fused_decoder_step).
 
     frames_per_step=N demodulates and decodes N consecutive modem frames
     per call — bit-identical to N chained fps=1 calls (each frame's EQ
