@@ -85,7 +85,9 @@ def _fused_weights(params: Dict[str, Any], side: str,
     segment once into a lane-aligned VMEM scratch window instead of
     re-copying the whole growing concat vector twice per layer.  Zero
     rows contribute exact 0.0 to the f32-accumulated dots (and quantize
-    to int8 zeros), so numerics stay bit-identical to merged=True; only
+    to int8 zeros), so the math is identical to merged=True — but the
+    wider dots may REASSOCIATE the f32 accumulation, so results agree to
+    ~1e-6 relative, not bit-for-bit (the parity test uses rtol=1e-4);
     the dot in-dims grow (96..736 -> 128..1408 on the x operands).
 
     Returns (arrs, names, scales); scales is () unless quant."""
@@ -247,9 +249,11 @@ def make_fused_decoder_step(latent_dim: int, feature_dim: int,
     serial dot-stage's ~3.5us floor), each x segment is stored ONCE into
     a 128-aligned window of a VMEM scratch buffer and every x-consuming
     dot reads a lane-aligned prefix slice of it.  Weights must come from
-    decoder_weights(merged="pad") (zero rows at the pad gaps keep the
-    numerics bit-identical to merged=True); segments are zero-padded to
-    the full 128 window on store so no uninitialised VMEM is ever read.
+    decoder_weights(merged="pad") (exact-zero rows at the pad gaps keep
+    the math identical to merged=True, though the wider dots may
+    reassociate the f32 sums — agreement is ~1e-6 relative, not
+    bit-for-bit); segments are zero-padded to the full 128 window on
+    store so no uninitialised VMEM is ever read.
     """
     assert batch % tile == 0
     n_tiles = batch // tile
@@ -748,7 +752,17 @@ def make_fused_encoder_step(feature_dim: int, latent_dim: int,
     the encoder is matmul-light enough that the plain XLA path serves
     2.1M audio-s/s at B=2048 (0.115 ms/frame), faster than the decode
     side.  Kept for backends where it compiles and as the template for
-    the decoder kernel."""
+    the decoder kernel.
+
+    KNOWN FIX if this ever needs to lower on Mosaic: the same recipe
+    that fixed the whole-frame rx kernel's identical failure mode —
+    flatten each 3-D conv-history ring (B, k, C) to a 2-D lane-aligned
+    layout (tile, k*ceil128(C)) with per-tap 128-aligned column windows,
+    address taps with static column slices, and zero-pad each tap's
+    channel block to a multiple of 128 so no size-1 slice of an
+    (8,128)-tiled middle dim is ever taken (see make_fused_rx_frame_step
+    and RESULTS.md "whole-frame Pallas kernel" row for the measured
+    precedent).  Unattempted only because tx is not the bottleneck."""
     assert batch % tile == 0
     n_tiles = batch // tile
     dils = [d for _, _, d in _ENC_CONV_DIMS]

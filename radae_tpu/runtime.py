@@ -118,7 +118,7 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
                           frange: float = 100.0, fstep: float = 2.5,
                           fused: bool = False, fused_tile: int = 512,
                           fused_quant=None, fused_dtype=None,
-                          fused_merged: bool = False):
+                          fused_merged=False):
     """Whole-over batched receiver: ONE jitted program that acquires,
     aligns, derotates and decodes B independent raw IQ streams.
 
@@ -145,7 +145,10 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
     detect = make_detect_pilots(cfg, batch, frange=frange, fstep=fstep)
     # fused=True runs the n_frames decode scan through the Pallas
     # VMEM-resident decoder (optionally int8); dec_params must then be the
-    # fused weights tuple (ops.fused_core.decoder_weights(quant=...))
+    # fused weights tuple (ops.fused_core.decoder_weights(quant=...)).
+    # fused_merged forwards verbatim to make_streaming_rx_step: False,
+    # True (chain-merged kernel) or "pad" (chain-merged + padded
+    # scratch-x) — weights/state must be built with the same flag.
     step = make_streaming_rx_step(cfg, decoder, batch, fused=fused,
                                   fused_tile=fused_tile,
                                   fused_quant=fused_quant,

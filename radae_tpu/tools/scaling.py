@@ -1,7 +1,9 @@
 """Measured sharded-scaling curves on the virtual CPU mesh.
 
 The parallelism layer is correctness-tested for shard-count invariance
-(tests/test_parallel.py) but with one real TPU chip its *efficiency* can
+(tests/test_train.py::test_shard_count_invariance and the two-process
+trajectory match in tests/test_distributed.py) but with one real TPU chip
+its *efficiency* can
 only be measured on the virtual CPU mesh — N jax devices multiplexed over
 the host's physical cores (VERDICT r3 weak #3).  Two regimes fall out of
 that topology:

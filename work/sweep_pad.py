@@ -27,8 +27,11 @@ from bench import run_bench  # noqa: E402
 CONFIGS = [
     # (fused, batch, tile, scan, fps)
     ("mergedf32", 2048, 512, 256, 1),   # current headline (baseline ref)
-    ("padf32",    2048, 512, 256, 1),   # concat-free scratch-x
-    ("padf32",    2048, 256, 256, 1),   # smaller tile if VMEM-tight
+    ("padf32",    2048, 256, 256, 1),   # concat-free scratch-x, small tile
+    #   first: pad adds ~2.2MB zero-padded weights + a (tile,1408) f32
+    #   scratch on top of a config already near the ~16MB VMEM budget, so
+    #   bank a small-tile pad number before risking tile=512
+    ("padf32",    2048, 512, 256, 1),
     ("padi8",     2048, 512, 256, 1),   # int8 weights shrink the pad cost
     ("mergedf32", 2048, 512, 128, 2),   # fps ladder: 2 frames per call
     ("mergedf32", 2048, 512, 64,  4),
