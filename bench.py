@@ -56,6 +56,10 @@ CACHE = os.path.join(HERE, ".bench_cache.json")
 # UNmerged kernel keeps the opposite ordering (int8 1.37M > f32 1.31M,
 # round-4 sweep #1).  The whole-frame kernel stays RETIRED (compiles
 # post-fix but trails the composite at every config — RESULTS.md).
+# Round-5 sweep (work/sweep_pad.json): the padded scratch-x kernel
+# (merged="pad", 1.19-1.25M) and frames_per_step>1 (1.55-1.65M) are both
+# measured SLOWER than the headline at every config and stay off the
+# ladder — see RESULTS.md round-5 note for the numbers and reading.
 # Rung order: two instant-compile rungs bank a nonzero number, then go
 # STRAIGHT for the headline (slow relay windows can fit only one big
 # compile in the budget); remaining rungs are fallbacks/filler for

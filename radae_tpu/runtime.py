@@ -118,13 +118,21 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
                           frange: float = 100.0, fstep: float = 2.5,
                           fused: bool = False, fused_tile: int = 512,
                           fused_quant=None, fused_dtype=None,
-                          fused_merged=False):
+                          fused_merged=False,
+                          n_windows: int = 1, refine: bool = False,
+                          eoo: bool = False):
     """Whole-over batched receiver: ONE jitted program that acquires,
     aligns, derotates and decodes B independent raw IQ streams.
 
     rx(dec_params, rx_packed (B, T, 2)) ->
         (features (B, n_frames, 12, feature_dim),
          candidate (B,) bool, tmax (B,) int32, fmax (B,) float32)
+
+    or, when any of (n_windows > 1, refine, eoo) is set, a dict with keys
+    features/candidate/tmax/fmax/win plus (when eoo) eoo_detected (B,)
+    bool, eoo_frame (B,) int32 (first frame position whose end-of-over
+    correlation exceeds threshold; n_frames+1 if none) and eoo_bits
+    (B, Nseoo*bps) soft bits demodulated from that frame.
 
     This is the at-scale serving path (SURVEY §7 stage 6): the per-stream
     work the product receiver does sequentially on the host
@@ -136,13 +144,37 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
     Streams whose `candidate` flag is False still produce (garbage)
     features; mask on the flag host-side.
 
-    T must be >= 2*Nmf + M + Ncp (acquisition window) and
-    >= tmax_max + (n_frames+1)*Nmf + Ncp; pad with zeros if short.
+    Product-grade acquisition options (matching the streaming receiver's
+    budget, reference: rx.py:146-205, radae_rxe.py:198-248):
+      * n_windows=K retries the detection grid over K successive 2-frame
+        windows and takes each row's FIRST hit — the product receiver's
+        once-per-120ms retry loop inside the same XLA program (K=12
+        covers the 1.5 s acquisition budget, README.md:447);
+      * refine=True adds the fine +-2 Hz / 0.25 Hz, +-2 sample search
+        around the coarse peak (the product path runs the same stage at
+        sync entry; coarse fstep=2.5 Hz alone leaves +-1.25 Hz residual);
+      * eoo=True scans every frame position for the end-of-over marker
+        (the 2-frame P,E..E sequence, reference: radae.py:206-222) with
+        the product receiver's threshold, and demodulates the detected
+        EOO frame's embedded data symbols (reference: dsp.py:513-524).
+
+    T must be >= (n_windows+1)*Nmf + M + Ncp (acquisition windows) and
+    >= tmax_max + (n_frames+1)*Nmf + Ncp for a full decode; short
+    buffers are edge-padded (replicating the old clamped-gather
+    semantics exactly).
     """
-    from .ops.acquisition_op import make_detect_pilots
+    from .ops.acquisition_op import (make_detect_pilots,
+                                     make_detect_pilots_windowed,
+                                     make_refine)
 
     M, Ncp, Nmf, Fs, Ns = cfg.M, cfg.Ncp, cfg.Nmf, cfg.Fs, cfg.Ns
-    detect = make_detect_pilots(cfg, batch, frange=frange, fstep=fstep)
+    extended = (n_windows > 1) or refine or eoo
+    if n_windows > 1:
+        detect_w = make_detect_pilots_windowed(cfg, batch, n_windows,
+                                               frange=frange, fstep=fstep)
+    else:
+        detect = make_detect_pilots(cfg, batch, frange=frange, fstep=fstep)
+    refine_fn = make_refine(cfg, batch) if refine else None
     # fused=True runs the n_frames decode scan through the Pallas
     # VMEM-resident decoder (optionally int8); dec_params must then be the
     # fused weights tuple (ops.fused_core.decoder_weights(quant=...)).
@@ -166,23 +198,29 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
             raise ValueError(
                 f"fused batched receiver was built for batch={batch} "
                 f"but got rx batch {B}")
-        candidate, tmax, fmax, _, _ = detect(
-            rx_packed[:, : 2 * Nmf + M + Ncp])
+        if n_windows > 1:
+            candidate, tmax, fmax, win, Dthresh = detect_w(rx_packed)
+        else:
+            candidate, tmax, fmax, Dthresh, _ = detect(
+                rx_packed[:, : 2 * Nmf + M + Ncp])
+            win = jnp.zeros((B,), jnp.int32)
 
         rxc = cplx.from_last(rx_packed)
+        if refine_fn is not None:
+            tmax, fmax = refine_fn(rxc.re, rxc.im, tmax, fmax)
         # Per-row time alignment FIRST, as a barrel shifter: tmax points
         # at the first pilot, the rx step wants the window Ncp early
         # (time_offset handling lives inside strip_cp).  The shift
-        # s = tmax-Ncp < Nmf decomposes into log2(Nmf) conditional STATIC
-        # shifts selected by jnp.where on the shift's bits — no gather at
-        # all (a (B, T) take_along_axis was 90% of this program's device
-        # time; element gathers don't vectorise on the VPU, lane-aligned
-        # selects do).  Edge replication composes to exactly the old
-        # clamped-index semantics: after shifting by s the tail reads
-        # x[min(t+s, T-1)].
+        # s = tmax-Ncp < n_windows*Nmf decomposes into log2 conditional
+        # STATIC shifts selected by jnp.where on the shift's bits — no
+        # gather at all (a (B, T) take_along_axis was 90% of this
+        # program's device time; element gathers don't vectorise on the
+        # VPU, lane-aligned selects do).  Edge replication composes to
+        # exactly the old clamped-index semantics: after shifting by s
+        # the tail reads x[min(t+s, T-1)].
         start = jnp.maximum(tmax - Ncp, 0)
         xr, xi = rxc.re, rxc.im
-        nbits = max(1, int(np.ceil(np.log2(Nmf))))
+        nbits = max(1, int(np.ceil(np.log2(n_windows * Nmf))))
 
         def shift(x, sh):
             return jnp.concatenate(
@@ -194,7 +232,7 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
             bit = (((start >> k) & 1) > 0)[:, None]
             xr = jnp.where(bit, shift(xr, sh), xr)
             xi = jnp.where(bit, shift(xi, sh), xi)
-        n_keep = T - Nmf                       # worst-case usable tail
+        n_keep = T - n_windows * Nmf           # worst-case usable tail
         xr, xi = xr[:, :n_keep], xi[:, :n_keep]
 
         # Per-row freq derotation AFTER alignment (commutes exactly: the
@@ -218,18 +256,32 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
         ramp_i = (ch[:, :, None] * sl[:, None, :]
                   + sh_[:, :, None] * cl[:, None, :]).reshape(
                       B_, hi_n * 128)[:, :n_keep]
-        aligned = cplx.C(xr * ramp_r - xi * ramp_i,
-                         xr * ramp_i + xi * ramp_r)
+        ar = xr * ramp_r - xi * ramp_i
+        ai = xr * ramp_i + xi * ramp_r
 
-        # frame windows (B, n_frames, frame_len) by gather, then scan
-        f_idx = (jnp.arange(n_frames, dtype=jnp.int32)[:, None] * Nmf
-                 + jnp.arange(frame_len, dtype=jnp.int32)[None, :])
-        f_idx = jnp.minimum(f_idx, n_keep - 1)
+        # Pad the aligned buffer by edge replication up to every static
+        # window the frame scan / EOO scan will slice — identical to the
+        # old per-element clamped-gather semantics (clamp-to-last ==
+        # replicate-last), but lets the windows be dynamic SLICES
+        # (contiguous, vectorisable) instead of a (B, n_frames*frame_len)
+        # element gather, which profiling showed dominated the aligned
+        # program's device time.
+        need = (n_frames - 1) * Nmf + frame_len
+        if eoo:
+            need = max(need, (n_frames + 1) * Nmf + Ncp + M + Ncp)
+        pad_n = max(0, need - n_keep)
+        if pad_n:
+            ar = jnp.concatenate(
+                [ar, jnp.broadcast_to(ar[:, -1:], (B, pad_n))], axis=1)
+            ai = jnp.concatenate(
+                [ai, jnp.broadcast_to(ai[:, -1:], (B, pad_n))], axis=1)
 
-        def body(dec_state, fi):
-            win = cplx.C(jnp.take(aligned.re, fi, axis=1),
-                         jnp.take(aligned.im, fi, axis=1))
-            feats, dec_state = step(dec_params, cplx.stack_last(win),
+        def body(dec_state, k):
+            off = k * Nmf
+            wr = jax.lax.dynamic_slice_in_dim(ar, off, frame_len, axis=1)
+            wi = jax.lax.dynamic_slice_in_dim(ai, off, frame_len, axis=1)
+            feats, dec_state = step(dec_params,
+                                    cplx.stack_last(cplx.C(wr, wi)),
                                     dec_state)
             return dec_state, feats
 
@@ -238,8 +290,72 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
             state0 = decoder_state_zero(B, merged=fused_merged)
         else:
             state0 = decoder.zero_state(B)
-        _, feats = jax.lax.scan(body, state0, f_idx)
-        return jnp.swapaxes(feats, 0, 1), candidate, tmax, fmax
+        _, feats = jax.lax.scan(body, state0,
+                                jnp.arange(n_frames, dtype=jnp.int32))
+        feats = jnp.swapaxes(feats, 0, 1)
+        if not extended:
+            return feats, candidate, tmax, fmax
+        out = {"features": feats, "candidate": candidate,
+               "tmax": tmax, "fmax": fmax, "win": win}
+        if eoo:
+            out.update(_eoo_scan(ar, ai, Dthresh))
+        return out
+
+    def _eoo_scan(ar, ai, Dthresh):
+        """End-of-over detection + data demod on the aligned, derotated
+        buffer.  Product analog: check_pilots' Dtmax12_eoo correlation
+        against the `pend` end-pilot with the Pacq_error1 threshold
+        (reference: dsp.py:300-320; EOO frame layout P,E..E
+        radae.py:206-222), then receiver_one's EOO branch (simple mean-
+        phase per-carrier EQ over the three known symbols) for the
+        embedded data (reference: dsp.py:513-524)."""
+        B = ar.shape[0]
+        pe_r = np.ascontiguousarray(cfg.pend.real, np.float32)
+        pe_i = np.ascontiguousarray(cfg.pend.imag, np.float32)
+        K = n_frames + 1
+        # windows at static offsets: frame k's pilot sits at k*Nmf + Ncp
+        # after alignment; the two pend copies follow at +M+Ncp and +Nmf
+        o1 = [k * Nmf + Ncp + M + Ncp for k in range(K)]
+        o2 = [k * Nmf + Ncp + Nmf for k in range(K)]
+        e1r = jnp.stack([ar[:, o: o + M] for o in o1], axis=1)  # (B, K, M)
+        e1i = jnp.stack([ai[:, o: o + M] for o in o1], axis=1)
+        e2r = jnp.stack([ar[:, o: o + M] for o in o2], axis=1)
+        e2i = jnp.stack([ai[:, o: o + M] for o in o2], axis=1)
+
+        def corr_abs(er, ei):                    # |sum conj(e) * pend|
+            cr = er @ pe_r + ei @ pe_i
+            ci = er @ pe_i - ei @ pe_r
+            return jnp.sqrt(cr * cr + ci * ci)
+
+        E = corr_abs(e1r, e1i) + corr_abs(e2r, e2i)          # (B, K)
+        hit = E > Dthresh[:, None]
+        eoo_detected = hit.any(axis=1)
+        first = jnp.argmax(hit, axis=1).astype(jnp.int32)
+        eoo_frame = jnp.where(eoo_detected, first, K)
+
+        # demod the detected frame's data symbols (one EOO frame =
+        # Ns+2 OFDM symbols starting at the frame boundary)
+        wlen = Nmf + M + Ncp
+        widx = (jnp.clip(eoo_frame, 0, K - 1)[:, None] * Nmf
+                + jnp.arange(wlen, dtype=jnp.int32)[None, :])
+        wr = jnp.take_along_axis(ar, widx, axis=1)
+        wi = jnp.take_along_axis(ai, widx, axis=1)
+        n_rs = wlen // (M + Ncp)                              # Ns + 2
+        rxw = cplx.C(wr, wi).reshape(B, n_rs, M + Ncp)
+        rx_dash = ofdm.strip_cp(rxw, M, Ncp, cfg.time_offset)
+        rx_sym = ofdm.dft(rx_dash, cfg.Wfwd)                  # (B, n_rs, Nc)
+        invP = (1.0 / cfg.P).astype(np.complex64)
+        invPend = (1.0 / cfg.Pend).astype(np.complex64)
+        Nse = Ns + 1
+        s = (cplx.mul_const(rx_sym[:, 0, :], invP)
+             + cplx.mul_const(rx_sym[:, 1, :], invPend)
+             + cplx.mul_const(rx_sym[:, Nse, :], invPend))    # (B, Nc)
+        rot = s.unit().conj()
+        eq = rx_sym * cplx.C(rot.re[:, None, :], rot.im[:, None, :])
+        data = eq[:, 2:Nse, :].reshape(B, -1)
+        eoo_bits = ofdm.qpsk_demap(data)                      # (B, Nseoo*bps)
+        return {"eoo_detected": eoo_detected, "eoo_frame": eoo_frame,
+                "eoo_bits": eoo_bits}
 
     return jax.jit(rx)
 

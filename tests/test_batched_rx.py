@@ -200,6 +200,277 @@ def test_batched_receiver_fused_int8_matches_unfused(flagship):
     assert dist < 0.03, dist       # dither-ball bound, not a quality gate
 
 
+def _mpp_fade(stream, cfg, rng):
+    """Two-path MPP Watterson fade, power-renormalised (the channel the
+    reference's acquisition gates run at, CMakeLists.txt:211-241)."""
+    from radae_tpu.channel.doppler import multipath_samples
+    _, G, hf_gain = multipath_samples("mpp", cfg.Fs, cfg.Rs_dash, cfg.Nc,
+                                      len(stream) / cfg.Fs + 1, rng=rng)
+    G = hf_gain * G[: len(stream)]
+    d = cfg.d_samples
+    faded = stream * G[:, 0]
+    faded[d:] += stream[:-d] * G[:-d, 1]
+    faded *= np.sqrt((np.abs(stream) ** 2).mean()
+                     / (np.abs(faded) ** 2).mean())
+    return faded.astype(np.complex64)
+
+
+def _noise_at_snr(x, snrdB, rng, Fs=8000, BW=3000):
+    sig = x[np.abs(x) > 0]
+    S = (np.abs(sig) ** 2).mean()
+    sigma2 = S / 10 ** (snrdB / 10) * Fs / BW
+    return (x + np.sqrt(sigma2 / 2)
+            * (rng.standard_normal(len(x))
+               + 1j * rng.standard_normal(len(x)))).astype(np.complex64)
+
+
+def test_windowed_acquisition_0dB_mpp_within_budget(flagship):
+    """Product-grade acquisition in the one-program receiver: with
+    windowed retry (12 windows = the reference's 1.5 s budget,
+    README.md:447) + fine refine, P(acquire AND correct t/f within the
+    budget) at 0 dB SNR MPP must be >= 0.8 — the same gate the product
+    streaming receiver passes (tests/test_gates.py), closing the
+    single-shot 57%-at-0dB gap of the round-4 design."""
+    import jax.numpy as jnp
+    from radae_tpu.apps.txe import RadaeTx
+    from radae_tpu.models.core import CoreDecoder
+    from radae_tpu.runtime import make_batched_receiver
+    from radae_tpu.utils.hostio import device_put_tree
+
+    params, feats = flagship
+    tx = RadaeTx(params=params, auxdata=True)
+    n_tx = 15
+    over = np.concatenate(
+        [tx.do_radae_tx(feats[i * 12:(i + 1) * 12].flatten())
+         for i in range(n_tx)])
+    cfg = tx.cfg
+    B, K = 10, 12
+    rng = np.random.default_rng(3)
+    pads = rng.integers(0, cfg.Nmf, B)
+    foffs = rng.uniform(-42, 42, B)
+    T = (K + 2) * cfg.Nmf + cfg.M + cfg.Ncp
+    streams = np.zeros((B, T), np.complex64)
+    n = np.arange(len(over))
+    for b in range(B):
+        faded = _mpp_fade(over, cfg, np.random.default_rng(100 + b))
+        sig = faded * np.exp(1j * 2 * np.pi * foffs[b] * n / cfg.Fs)
+        m = min(len(sig), T - pads[b])
+        streams[b, pads[b]: pads[b] + m] = sig[:m]
+        streams[b] = _noise_at_snr(streams[b], 0.0,
+                                   np.random.default_rng(200 + b))
+
+    decoder = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
+    dec_params = device_put_tree(params["decoder"])
+    nf = 4
+    rx = make_batched_receiver(cfg, decoder, B, n_frames=nf,
+                               n_windows=K, refine=True)
+    packed = np.stack([streams.real, streams.imag], -1).astype(np.float32)
+    out = rx(dec_params, jnp.asarray(packed))
+    cand = np.asarray(out["candidate"])
+    tmax = np.asarray(out["tmax"])
+    fmax = np.asarray(out["fmax"])
+    win = np.asarray(out["win"])
+
+    ok = 0
+    t_tol = cfg.d_samples + 4    # a lock on the second MPP path (16
+    for b in range(B):           # samples late) sits inside the CP: valid
+        t_true = pads[b] + cfg.Ncp
+        # signal starts inside window 0 or 1; any later hit window must
+        # land on a true pilot (Nmf-periodic from t_true)
+        t_err = (int(tmax[b]) - t_true) % cfg.Nmf
+        t_err = min(t_err, cfg.Nmf - t_err)
+        if (cand[b] and t_err <= t_tol
+                and abs(float(fmax[b]) - foffs[b]) <= 3.0
+                and win[b] < K):
+            ok += 1
+    assert ok >= 8, (ok, list(zip(cand, tmax - pads - cfg.Ncp,
+                                  fmax - foffs, win)))
+
+
+def test_refine_tightens_coarse_frequency(flagship):
+    """The in-program fine search must cut the coarse grid's +-1.25 Hz
+    residual to the fine-step scale (product analog: rx.py:201-205 runs
+    acq.refine before decoding)."""
+    import jax.numpy as jnp
+    from radae_tpu.apps.txe import RadaeTx
+    from radae_tpu.models.core import CoreDecoder
+    from radae_tpu.runtime import make_batched_receiver
+    from radae_tpu.utils.hostio import device_put_tree
+
+    params, feats = flagship
+    tx = RadaeTx(params=params, auxdata=True)
+    over = np.concatenate(
+        [tx.do_radae_tx(feats[i * 12:(i + 1) * 12].flatten())
+         for i in range(5)])
+    cfg = tx.cfg
+    B = 4
+    foff = 13.7                    # 1.2 Hz off the 2.5 Hz coarse grid
+    pads = [0, 313, 640, 900]
+    T = 4 * cfg.Nmf + cfg.M + cfg.Ncp + len(over)
+    rng = np.random.default_rng(0)
+    streams = np.zeros((B, T), np.complex64)
+    n = np.arange(len(over))
+    for b in range(B):
+        streams[b, pads[b]: pads[b] + len(over)] = \
+            over * np.exp(1j * 2 * np.pi * foff * n / cfg.Fs)
+        streams[b] = _noise_at_snr(streams[b], 10.0, rng)
+
+    decoder = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
+    dec_params = device_put_tree(params["decoder"])
+    packed = np.stack([streams.real, streams.imag], -1).astype(np.float32)
+
+    rx_c = make_batched_receiver(cfg, decoder, B, n_frames=2, n_windows=2)
+    rx_r = make_batched_receiver(cfg, decoder, B, n_frames=2, n_windows=2,
+                                 refine=True)
+    out_c = rx_c(dec_params, jnp.asarray(packed))
+    out_r = rx_r(dec_params, jnp.asarray(packed))
+    assert np.asarray(out_c["candidate"]).all()
+    assert np.asarray(out_r["candidate"]).all()
+    err_c = np.abs(np.asarray(out_c["fmax"]) - foff)
+    err_r = np.abs(np.asarray(out_r["fmax"]) - foff)
+    assert err_c.max() <= 1.35, err_c       # coarse: grid-limited (+-1.25)
+    assert err_r.max() <= 0.4, err_r        # refined: fine-step scale
+    for b in range(B):
+        # acquisition confirms over consecutive windows, so tmax points
+        # at the pilot of the acquiring window — compare modulo Nmf
+        t_err = (int(np.asarray(out_r["tmax"])[b])
+                 - (pads[b] + cfg.Ncp)) % cfg.Nmf
+        assert min(t_err, cfg.Nmf - t_err) <= 2, (b, t_err)
+
+
+def test_batched_receiver_threshold_snr_parity_with_streaming(flagship):
+    """VERDICT r4 gate: at threshold SNR (0 dB MPP), the one-program
+    receiver with product-grade acquisition must decode with feature loss
+    matching the product streaming receiver on the SAME stream (not just
+    at 10 dB)."""
+    import jax.numpy as jnp
+    from radae_tpu.apps.txe import RadaeTx
+    from radae_tpu.apps.rxe import RadaeRx
+    from radae_tpu.models.core import CoreDecoder, distortion_loss
+    from radae_tpu.runtime import make_batched_receiver
+    from radae_tpu.utils.hostio import device_put_tree
+
+    params, feats = flagship
+    tx = RadaeTx(params=params, auxdata=True)
+    n_tx = 20
+    over = np.concatenate(
+        [tx.do_radae_tx(feats[i * 12:(i + 1) * 12].flatten())
+         for i in range(n_tx)])
+    cfg = tx.cfg
+    faded = _mpp_fade(over, cfg, np.random.default_rng(11))
+    K = 12
+    T = len(over) + (K + 2) * cfg.Nmf + cfg.M + cfg.Ncp
+    base = np.zeros(T, np.complex64)
+    base[: len(faded)] = faded
+    stream = _noise_at_snr(base, 0.0, np.random.default_rng(12))
+
+    # product streaming receiver on the same stream
+    rxe = RadaeRx(params=params, auxdata=True, v=0)
+    floats_out = np.zeros(rxe.get_n_floats_out(), np.float32)
+    chunks, ptr = [], 0
+    while ptr + rxe.get_nin() <= len(stream):
+        nin = rxe.get_nin()
+        ret = rxe.do_radae_rx(stream[ptr:ptr + nin], floats_out)
+        ptr += nin
+        if ret & 1:
+            chunks.append(floats_out.reshape(-1, 36).copy())
+    assert chunks, "streaming receiver never synced"
+    out_s = np.concatenate(chunks)
+
+    def best_loss(hat):
+        ref = feats[: n_tx * 12, :20]
+        n = min(len(ref), len(hat))
+        best = np.inf
+        for s in range(0, 6 * 12 + 1, 12):
+            if s + n > len(ref):
+                break
+            best = min(best, float(np.asarray(distortion_loss(
+                ref[None, s:s + n], hat[None, :n, :20]))[0]))
+        return best
+
+    loss_stream = best_loss(out_s)
+
+    B = 2
+    streams = np.stack([stream, stream])
+    packed = np.stack([streams.real, streams.imag], -1).astype(np.float32)
+    decoder = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
+    dec_params = device_put_tree(params["decoder"])
+    rx = make_batched_receiver(cfg, decoder, B, n_frames=n_tx,
+                               n_windows=K, refine=True)
+    out = rx(dec_params, jnp.asarray(packed))
+    assert np.asarray(out["candidate"]).all()
+    fh = np.asarray(out["features"]).reshape(B, -1, cfg.feature_dim)
+    # drop frames before the acquisition window (decode starts there)
+    w0 = int(np.asarray(out["win"])[0])
+    hat = fh[0][:, :20]
+    ref = feats[w0 * 12: n_tx * 12, :20]
+    n = min(len(ref), len(hat))
+    loss_b = float(np.asarray(distortion_loss(
+        ref[None, :n], hat[None, :n]))[0])
+    # parity gate: within 0.1 of the product receiver (reference's
+    # loss-delta PASS/FAIL form, loss.py:109-112, relaxed for the
+    # one-shot-EQ vs per-frame-refine difference at threshold SNR)
+    assert loss_b < loss_stream + 0.1, (loss_b, loss_stream)
+
+
+def test_batched_receiver_eoo_detection_and_bits(flagship):
+    """End-of-over through the serving path (VERDICT r4 item 5): the
+    one-program receiver must flag the EOO frame at its position and
+    demodulate the embedded EOO data bits (BER < 5%, the reference's
+    eoo_ber.py gate) — and must NOT flag EOO on a data-only over."""
+    import jax.numpy as jnp
+    from radae_tpu.apps.txe import RadaeTx
+    from radae_tpu.models.core import CoreDecoder
+    from radae_tpu.runtime import make_batched_receiver
+    from radae_tpu.utils.hostio import device_put_tree
+
+    params, feats = flagship
+    tx = RadaeTx(params=params, auxdata=True)
+    rng = np.random.default_rng(5)
+    tx_bits = np.sign(rng.random(tx.get_Neoo_bits()) - 0.5).astype(np.float32)
+    tx.set_eoo_bits(tx_bits)
+    n_data = 6
+    data = np.concatenate(
+        [tx.do_radae_tx(feats[i * 12:(i + 1) * 12].flatten())
+         for i in range(n_data)])
+    over_eoo = np.concatenate([data, tx.do_eoo()])
+    cfg = tx.cfg
+
+    B = 4
+    pads = [0, 400, 777, 0]
+    foffs = [0.0, -20.0, 8.0, 0.0]
+    T = 2 * cfg.Nmf + len(over_eoo) + 2 * cfg.Nmf + cfg.M + cfg.Ncp
+    streams = np.zeros((B, T), np.complex64)
+    for b in range(B):
+        sig = over_eoo if b < 3 else data      # row 3: no EOO appended
+        n = np.arange(len(sig))
+        streams[b, pads[b]: pads[b] + len(sig)] = \
+            sig * np.exp(1j * 2 * np.pi * foffs[b] * n / cfg.Fs)
+        streams[b] = _noise_at_snr(streams[b], 6.0,
+                                   np.random.default_rng(50 + b))
+
+    decoder = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
+    dec_params = device_put_tree(params["decoder"])
+    packed = np.stack([streams.real, streams.imag], -1).astype(np.float32)
+    rx = make_batched_receiver(cfg, decoder, B, n_frames=n_data,
+                               n_windows=2, refine=True, eoo=True)
+    out = rx(dec_params, jnp.asarray(packed))
+    assert np.asarray(out["candidate"]).all()
+    det = np.asarray(out["eoo_detected"])
+    ef = np.asarray(out["eoo_frame"])
+    win = np.asarray(out["win"])
+    bits = np.asarray(out["eoo_bits"])
+    assert det[:3].all(), (det, ef)
+    assert not det[3], (det, ef)
+    nb = len(tx_bits)
+    for b in range(3):
+        # decode starts at the acquiring window, so the EOO frame index
+        # is relative to it
+        assert ef[b] == n_data - win[b], (b, ef, win)
+        ber = float((bits[b][:nb] * tx_bits < 0).mean())
+        assert ber < 0.05, (b, ber)
+
+
 def test_barrel_shift_alignment_matches_gather_semantics():
     """The receiver's gather-free alignment (log2(Nmf) conditional static
     shifts + derotate-after-align phasor tables) must reproduce the

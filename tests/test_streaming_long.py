@@ -275,6 +275,119 @@ def test_cp_guard_corrects_pilot_spacing_alias(flagship):
     assert abs(rx.fmax) < 2.0, rx.fmax
 
 
+def _rss_mb():
+    """Current process resident set (MB) from /proc — the leak probe."""
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+@pytest.mark.soak
+def test_streaming_soak_30min_stability(flagship, clean_loss):
+    """>=30 min of simulated air time through ONE receiver session: 14
+    overs with cycling fade classes, slowly DRIFTING sample-clock ppm
+    (-130 .. +130 across the session, so the nin slip direction flips),
+    2 s noise gaps, every over EOO-terminated — the multi-hour-session
+    property the ~310 s mixed soak cannot show (VERDICT r4 item 6;
+    reference's longest runs are the 50 s clock-offset ctests,
+    CMakeLists.txt:374-417).  Gates: >=10 re-acquisitions, re-acquisition
+    time STABLE across the session (late overs no slower than early — a
+    state-machine leak/drift would accumulate), decode quality within
+    budget on every over, and bounded RSS growth after warm-up (no
+    per-frame allocation leak).  Opt-in: pytest -m soak (runs ~15-25 min
+    on this host)."""
+    from radae_tpu.apps.rxe import RadaeRx
+    from radae_tpu.dsp.rrc import sample_clock_offset
+
+    params, feats, meta = flagship
+    rng = np.random.default_rng(21)
+    nf = 125                              # 15 s per over
+    N_OVERS = 14                          # + gaps ~ 31 min of air
+    GAP = 16000
+    fade_cycle = [None, "mpp", "mpg", None, "mpd", "mpp", None]
+    snr_for = {None: 0.0, "mpp": 3.0, "mpg": 3.0, "mpd": 6.0}
+
+    tx_stream, ref = _tx_long(params, feats, nf)   # reuse one tx over
+    pieces, bounds, pos = [], [], 0
+    for k in range(N_OVERS):
+        ch = fade_cycle[k % len(fade_cycle)]
+        ppm = -130 + k * 20               # slow drift across the session
+        stream = _fade(tx_stream, ch, rng) if ch else tx_stream
+        stream = sample_clock_offset(stream.astype(np.complex64), ppm)
+        snr = snr_for[ch]
+        S = (np.abs(stream[np.abs(stream) > 0]) ** 2).mean()
+        sigma2 = S / 10 ** (snr / 10) * 8000 / 3000
+
+        def mknoise(n):
+            return np.sqrt(sigma2 / 2) * (rng.standard_normal(n)
+                                          + 1j * rng.standard_normal(n))
+
+        piece = np.concatenate([mknoise(GAP),
+                                stream + mknoise(len(stream))]
+                               ).astype(np.complex64)
+        pieces.append(piece)
+        bounds.append((pos + GAP, pos + len(piece), ch))
+        pos += len(piece)
+    full = np.concatenate(pieces)
+    assert len(full) / 8000 >= 30 * 60, len(full)
+
+    rx = RadaeRx(params=params, auxdata=True, v=0)
+    floats_out = np.zeros(rx.get_n_floats_out(), np.float32)
+    frames = []                           # (start_sample, valid, rows)
+    eoo = sync_entries = 0
+    rss_warm = None
+    prev_state = "search"
+    ptr = 0
+    while ptr + rx.get_nin() <= len(full):
+        nin = rx.get_nin()
+        ret = rx.do_radae_rx(full[ptr:ptr + nin], floats_out)
+        frames.append((ptr, bool(ret & 1),
+                       floats_out.reshape(-1, 36).copy() if ret & 1 else None))
+        ptr += nin
+        if ret & 2:
+            eoo += 1
+        if prev_state != "sync" and rx.state == "sync":
+            sync_entries += 1
+        prev_state = rx.state
+        if rss_warm is None and ptr > len(pieces[0]) + len(pieces[1]):
+            rss_warm = _rss_mb()          # after 2 overs: fully warmed up
+
+    assert sync_entries >= 10, sync_entries
+    assert eoo >= 8, eoo
+
+    # bounded memory: RSS after the full session within 150 MB of the
+    # post-warm-up level (decoded-frame bookkeeping above accounts for
+    # ~100 MB; the receiver itself must not grow)
+    rss_end = _rss_mb()
+    n_rows_kept = sum(1 for f in frames if f[1])
+    book_mb = n_rows_kept * floats_out.nbytes / 1e6
+    assert rss_end - rss_warm < 150 + book_mb, (rss_warm, rss_end, book_mb)
+
+    # per-over: re-acquired, decoded, in budget; re-acq time stable
+    acq_frames, losses = [], []
+    for k, (s_start, s_end, ch) in enumerate(bounds):
+        over = [(i, f) for i, f in enumerate(frames)
+                if s_start - 960 <= f[0] < s_end - 960]
+        i0 = over[0][0]
+        valid = [(i - i0, f[2]) for i, f in over if f[1]]
+        assert valid, f"over {k} ({ch}): nothing decoded"
+        acq_frames.append(valid[0][0])
+        assert valid[0][0] <= 45, (k, ch, valid[0][0])
+        assert len(valid) >= 0.6 * nf, (k, ch, len(valid))
+        losses.append(_loss_segments(ref, valid, max_delay=50))
+        budget = 0.15 if ch is None else 0.25
+        assert losses[-1] < clean_loss + budget, (k, ch, losses[-1])
+
+    # stability: the LAST third of the session re-acquires no slower than
+    # the first third (a leaking/drifting state machine shows up here)
+    third = N_OVERS // 3
+    early = np.mean(acq_frames[:third])
+    late = np.mean(acq_frames[-third:])
+    assert late <= early + 15, (acq_frames, early, late)
+
+
 SOAK_FRAMES_PER_OVER = 625          # 75 s per over; 4 overs ~ 300 s of signal
 
 
