@@ -6,6 +6,7 @@ TOOLS = {
     "train": ("radae_tpu.tools.train", "main"),
     "inference": ("radae_tpu.tools.inference", "main"),
     "rx": ("radae_tpu.tools.rx", "main"),
+    "rx_batch": ("radae_tpu.tools.rx_batch", "main"),
     "loss": ("radae_tpu.tools.loss", "main"),
     "evaluate": ("radae_tpu.tools.evaluate", "main"),
     "txe": ("radae_tpu.apps.txe", "main"),

@@ -471,6 +471,47 @@ def test_batched_receiver_eoo_detection_and_bits(flagship):
         assert ber < 0.05, (b, ber)
 
 
+def test_rx_batch_cli(flagship, tmp_path):
+    """The rx_batch serving CLI: many IQ files decoded in one program,
+    per-stream feature files truncated at the detected EOO."""
+    from radae_tpu.apps.txe import RadaeTx
+    from radae_tpu.tools import rx_batch
+
+    params, feats = flagship
+    tx = RadaeTx(params=params, auxdata=True)
+    n_data = 4
+    data = np.concatenate(
+        [tx.do_radae_tx(feats[i * 12:(i + 1) * 12].flatten())
+         for i in range(n_data)])
+    over = np.concatenate([data, tx.do_eoo()])
+    cfg = tx.cfg
+    rng = np.random.default_rng(2)
+    files = []
+    for k, (pad, foff) in enumerate([(0, 0.0), (500, -15.0)]):
+        n = np.arange(len(over))
+        s = np.zeros(pad + len(over) + cfg.Nmf, np.complex64)
+        s[pad: pad + len(over)] = over * np.exp(
+            1j * 2 * np.pi * foff * n / cfg.Fs)
+        s += 0.02 * (rng.standard_normal(len(s))
+                     + 1j * rng.standard_normal(len(s)))
+        fn = tmp_path / f"s{k}.f32"
+        s.astype(np.complex64).tofile(fn)
+        files.append(str(fn))
+
+    ckpt = os.path.join(FIX, "model_fs_flagship.npz")
+    rc = rx_batch.main([ckpt, str(tmp_path / "out")] + files
+                       + ["--n-windows", "2"])
+    assert rc == 0
+    for k in range(2):
+        out = tmp_path / "out" / f"s{k}_feat.f32"
+        assert out.exists(), out
+        fh = np.fromfile(out, np.float32).reshape(-1, 36)
+        # decoded up to the EOO: at least 2 of the 4 data frames' rows
+        # survive after the acquisition window offset
+        assert len(fh) >= 2 * 12, len(fh)
+        assert np.isfinite(fh).all()
+
+
 def test_barrel_shift_alignment_matches_gather_semantics():
     """The receiver's gather-free alignment (log2(Nmf) conditional static
     shifts + derotate-after-align phasor tables) must reproduce the
