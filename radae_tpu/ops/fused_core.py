@@ -746,26 +746,27 @@ def make_fused_encoder_step(feature_dim: int, latent_dim: int,
     Mirrors make_fused_decoder_step for the encoder stack (no GLU; conv
     dilations 1,2,2,2,2 carried as per-layer history rings).
 
-    NOTE (measured on the v5-lite relay): this kernel is validated in
-    interpret mode but its 3-D conv-history VMEM blocks do not lower
-    through Mosaic on that backend, and the tx side doesn't need it —
-    the encoder is matmul-light enough that the plain XLA path serves
-    2.1M audio-s/s at B=2048 (0.115 ms/frame), faster than the decode
-    side.  Kept for backends where it compiles and as the template for
-    the decoder kernel.
+    Round-5 layout fix: the original kernel carried each conv-history
+    ring as a 3-D (tile, d, cin) VMEM block, whose size-1 slices of the
+    (8,128)-tiled middle dim do not lower through Mosaic on the v5-lite
+    relay (the identical failure mode the whole-frame rx kernel had).
+    The ring is now FLAT 2-D (tile, d*ceil128(cin)) with each tap in a
+    128-aligned column window (zero columns in the gaps, same recipe as
+    make_fused_rx_frame_step's padded symbol rows), so every tap access
+    is a static lane-aligned 2-D slice.  encoder_state_zero emits the
+    flat layout.
 
-    KNOWN FIX if this ever needs to lower on Mosaic: the same recipe
-    that fixed the whole-frame rx kernel's identical failure mode —
-    flatten each 3-D conv-history ring (B, k, C) to a 2-D lane-aligned
-    layout (tile, k*ceil128(C)) with per-tap 128-aligned column windows,
-    address taps with static column slices, and zero-pad each tap's
-    channel block to a multiple of 128 so no size-1 slice of an
-    (8,128)-tiled middle dim is ever taken (see make_fused_rx_frame_step
-    and RESULTS.md "whole-frame Pallas kernel" row for the measured
-    precedent).  Unattempted only because tx is not the bottleneck."""
+    Measured keep-or-retire (round 5, work/sweep_enc.log, same-session
+    interleave at B=2048, scan=256): plain XLA tx 1.27M audio-s/s
+    (0.193 ms/frame) vs this kernel 1.48M (tile=256) / **1.68M
+    (tile=512, 0.146 ms/frame)** — a +32% KEEP for batch tx serving.
+    (Single-stream tx B=1 stays on the plain XLA path: a tile-1 kernel
+    has no batch to fill the MXU with.)"""
     assert batch % tile == 0
     n_tiles = batch // tile
     dils = [d for _, _, d in _ENC_CONV_DIMS]
+    cins = [cin for cin, _, _ in _ENC_CONV_DIMS]
+    c128s = [-(-cin // 128) * 128 for cin in cins]   # per-tap window width
     in_dim = FRAMES_PER_STEP * feature_dim
 
     NW = 2 + 5 * 7 + 2      # dense_1 + 5 x (gru4 + conv3) + z_dense
@@ -779,8 +780,9 @@ def make_fused_encoder_step(feature_dim: int, latent_dim: int,
         d1_w, d1_b = w[0], w[1]
         rest = w[2:]
         h = [state_in[i][:] for i in range(5)]
-        # history ring: hist[i] has shape (tile, d, in_dim); index 0 is the
-        # oldest (from d steps ago)
+        # flat history ring: hist[i] is (tile, d*c128); tap t occupies the
+        # 128-aligned window [t*c128, t*c128+cin) with exact-zero pad
+        # columns in the gap; window 0 is the oldest tap (d steps ago)
         hist = [state_in[5 + i][:] for i in range(5)]
 
         for step in range(nz):
@@ -793,17 +795,20 @@ def make_fused_encoder_step(feature_dim: int, latent_dim: int,
                 wi += 7
                 h[i] = _gru_step(wih[:], bih[:], whh[:], bhh[:], x, h[i])
                 x = jnp.concatenate([x, h[i]], axis=-1)
-                x_old = hist[i][:, 0, :]
+                cin, c128 = cins[i], c128s[i]
+                x_old = hist[i][:, :cin]             # oldest tap window
                 yc = jnp.tanh(jnp.dot(x_old, cw0[:],
                                       preferred_element_type=jnp.float32)
                               + jnp.dot(x, cw1[:],
                                         preferred_element_type=jnp.float32)
                               + cb[:])
+                xp = (x if cin == c128 else
+                      jnp.pad(x, ((0, 0), (0, c128 - cin))))
                 if dils[i] == 1:
-                    hist[i] = x[:, None, :]
+                    hist[i] = xp
                 else:
-                    hist[i] = jnp.concatenate(
-                        [hist[i][:, 1:, :], x[:, None, :]], axis=1)
+                    hist[i] = jnp.concatenate([hist[i][:, c128:], xp],
+                                              axis=1)
                 x = jnp.concatenate([x, yc], axis=-1)
             out_w, out_b = w[NW - 2], w[NW - 1]
             z = jnp.dot(x, out_w[:],
@@ -854,8 +859,10 @@ def make_fused_encoder_step(feature_dim: int, latent_dim: int,
 
 
 def encoder_state_zero(batch):
+    # conv-history rings in the FLAT 2-D layout the kernel uses: tap t of
+    # layer i in the 128-aligned window [t*c128, t*c128+cin), zero pads
     s = [jnp.zeros((batch, gh), jnp.float32) for _, gh in _ENC_GRU_DIMS]
-    s += [jnp.zeros((batch, d, cin), jnp.float32)
+    s += [jnp.zeros((batch, d * (-(-cin // 128) * 128)), jnp.float32)
           for cin, _, d in _ENC_CONV_DIMS]
     return tuple(s)
 

@@ -286,12 +286,12 @@ def _rss_mb():
 
 @pytest.mark.soak
 def test_streaming_soak_30min_stability(flagship, clean_loss):
-    """>=30 min of simulated air time through ONE receiver session: 14
-    overs with cycling fade classes, slowly DRIFTING sample-clock ppm
-    (-130 .. +130 across the session, so the nin slip direction flips),
-    2 s noise gaps, every over EOO-terminated — the multi-hour-session
-    property the ~310 s mixed soak cannot show (VERDICT r4 item 6;
-    reference's longest runs are the 50 s clock-offset ctests,
+    """>=30 min of simulated air time through ONE receiver session: 24
+    overs of 75 s with cycling fade classes, slowly DRIFTING sample-clock
+    ppm (-130 .. +123 across the session, so the nin slip direction
+    flips), 2 s noise gaps, every over EOO-terminated — the multi-hour-
+    session property the ~310 s mixed soak cannot show (VERDICT r4
+    item 6; reference's longest runs are the 50 s clock-offset ctests,
     CMakeLists.txt:374-417).  Gates: >=10 re-acquisitions, re-acquisition
     time STABLE across the session (late overs no slower than early — a
     state-machine leak/drift would accumulate), decode quality within
@@ -303,8 +303,8 @@ def test_streaming_soak_30min_stability(flagship, clean_loss):
 
     params, feats, meta = flagship
     rng = np.random.default_rng(21)
-    nf = 125                              # 15 s per over
-    N_OVERS = 14                          # + gaps ~ 31 min of air
+    nf = SOAK_FRAMES_PER_OVER             # 75 s per over
+    N_OVERS = 24                          # + gaps ~ 31 min of air
     GAP = 16000
     fade_cycle = [None, "mpp", "mpg", None, "mpd", "mpp", None]
     snr_for = {None: 0.0, "mpp": 3.0, "mpg": 3.0, "mpd": 6.0}
@@ -313,7 +313,7 @@ def test_streaming_soak_30min_stability(flagship, clean_loss):
     pieces, bounds, pos = [], [], 0
     for k in range(N_OVERS):
         ch = fade_cycle[k % len(fade_cycle)]
-        ppm = -130 + k * 20               # slow drift across the session
+        ppm = -130 + k * 11               # slow drift across the session
         stream = _fade(tx_stream, ch, rng) if ch else tx_stream
         stream = sample_clock_offset(stream.astype(np.complex64), ppm)
         snr = snr_for[ch]
