@@ -23,6 +23,22 @@ from . import cplx
 from .cplx import C
 
 
+def _pilot_replicas(cfg, frange, fstep, Pacq_error1):
+    """Shared coarse-search setup: freq-shifted pilot replicas (M, F)
+    split-complex, the coarse frequency axis, and the Rayleigh threshold
+    multiplier 2*sqrt(-ln(Pa/5)) (reference: dsp.py:217-221).  Both
+    detectors below derive from this so replica phase / threshold fixes
+    cannot diverge."""
+    fcoarse = np.arange(-frange / 2, frange / 2, fstep)
+    n = np.arange(cfg.M)[:, None]
+    p_w = (np.exp(1j * 2 * np.pi * fcoarse[None, :] * n / cfg.Fs)
+           * cfg.p[:, None])
+    PWr = jnp.asarray(np.ascontiguousarray(p_w.real, np.float32))
+    PWi = jnp.asarray(np.ascontiguousarray(p_w.imag, np.float32))
+    thresh_k = float(2.0 * np.sqrt(-np.log(Pacq_error1 / 5.0)))
+    return fcoarse, PWr, PWi, thresh_k
+
+
 def make_detect_pilots(cfg, batch: int, frange=100.0, fstep=2.5,
                        Pacq_error1=1e-5):
     """Build a jitted batched detector.
@@ -32,14 +48,9 @@ def make_detect_pilots(cfg, batch: int, frange=100.0, fstep=2.5,
          Dthresh (B,), Dtmax (B,))
     """
     M, Nmf = cfg.M, cfg.Nmf
-    fcoarse = np.arange(-frange / 2, frange / 2, fstep)
+    fcoarse, PWr, PWi, thresh_k = _pilot_replicas(cfg, frange, fstep,
+                                                  Pacq_error1)
     F = len(fcoarse)
-    # freq-shifted pilot replicas (M, F), split on host
-    n = np.arange(M)[:, None]
-    p_w = np.exp(1j * 2 * np.pi * fcoarse[None, :] * n / cfg.Fs) * cfg.p[:, None]
-    PWr = jnp.asarray(np.ascontiguousarray(p_w.real, np.float32))
-    PWi = jnp.asarray(np.ascontiguousarray(p_w.imag, np.float32))
-    thresh_k = float(2.0 * np.sqrt(-np.log(Pacq_error1 / 5.0)))
 
     # sliding-window gather indices (Nmf, M)
     win_idx = (np.arange(Nmf)[:, None] + np.arange(M)[None, :]).astype(np.int32)
@@ -119,13 +130,9 @@ def make_detect_pilots_windowed(cfg, batch: int, n_windows: int,
         # reference rx.py:175 (0.02*M), widened so a true peak quantised
         # to adjacent stride bins still matches
         t_match_tol = max(int(round(0.02 * M)), tstride + 2)
-    fcoarse = np.arange(-frange / 2, frange / 2, fstep)
+    fcoarse, PWr, PWi, thresh_k = _pilot_replicas(cfg, frange, fstep,
+                                                  Pacq_error1)
     F = len(fcoarse)
-    n = np.arange(M)[:, None]
-    p_w = np.exp(1j * 2 * np.pi * fcoarse[None, :] * n / Fs) * cfg.p[:, None]
-    PWr = jnp.asarray(np.ascontiguousarray(p_w.real, np.float32))
-    PWi = jnp.asarray(np.ascontiguousarray(p_w.imag, np.float32))
-    thresh_k = float(2.0 * np.sqrt(-np.log(Pacq_error1 / 5.0)))
     toff = np.arange(0, Nmf, tstride)
     win_idx = (toff[:, None] + np.arange(M)[None, :]).astype(np.int32)
     fvec = jnp.asarray(fcoarse, jnp.float32)
@@ -152,7 +159,7 @@ def make_detect_pilots_windowed(cfg, batch: int, n_windows: int,
                 jnp.full((B,), n_windows, jnp.int32),    # win
                 zi, jnp.full((B,), -10 * Nmf, jnp.int32),  # count, t_prev
                 jnp.full((B,), -1.0, jnp.float32), zi, zf,  # global best
-                zf)                                      # sigma accum
+                (zf, zf))                # (sigma sum, nonzero-window count)
 
         def body(carry, k):
             (G_prev, found, tmax, fmax, win, count, t_prev,
@@ -170,8 +177,12 @@ def make_detect_pilots_windowed(cfg, batch: int, n_windows: int,
             cand_k = D_k > thresh_k * sigma_k
             # candidate state machine: consecutive hits must agree in
             # within-frame timing (pilots are Nmf-periodic, so the true
-            # peak's t_rel is stable; fade/data artifacts move around)
-            agree = jnp.abs(t_rel - t_prev) <= t_match_tol
+            # peak's t_rel is stable; fade/data artifacts move around).
+            # Wrap-aware distance: a pilot sitting within tol of the
+            # frame boundary can flip its argmax between t~0 and t~Nmf-1
+            # across windows and must still count as agreement
+            dt_ = jnp.abs(t_rel - t_prev)
+            agree = jnp.minimum(dt_, Nmf - dt_) <= t_match_tol
             count = jnp.where(cand_k & agree, count + 1,
                               jnp.where(cand_k, 1, 0))
             t_prev = jnp.where(cand_k, t_rel, t_prev)
@@ -184,14 +195,21 @@ def make_detect_pilots_windowed(cfg, batch: int, n_windows: int,
             bD = jnp.where(better, D_k, bD)
             bt = jnp.where(better, t_k, bt)
             bf = jnp.where(better, f_k, bf)
+            # exclude exact-zero windows from the sigma average: buffers
+            # are zero-padded to the acquisition length (rx_batch, short
+            # overs), and averaging empty windows in would deflate the
+            # EOO threshold downstream into false end-of-over detections
+            nz_ = sigma_k > 0.0
             return (G_next, found, tmax, fmax, win, count, t_prev,
-                    bD, bt, bf, sig + sigma_k), None
+                    bD, bt, bf,
+                    (sig[0] + jnp.where(nz_, sigma_k, 0.0),
+                     sig[1] + nz_.astype(jnp.float32))), None
 
         carry, _ = jax.lax.scan(body, init, jnp.arange(n_windows))
         _, found, tmax, fmax, win, _, _, bD, bt, bf, sig = carry
         tmax = jnp.where(found, tmax, bt)
         fmax = jnp.where(found, fmax, bf)
-        Dthresh = thresh_k * sig / n_windows
+        Dthresh = thresh_k * sig[0] / jnp.maximum(sig[1], 1.0)
         return found, tmax, fmax, win, Dthresh
 
     return jax.jit(detect)

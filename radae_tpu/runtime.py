@@ -334,12 +334,19 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
         eoo_frame = jnp.where(eoo_detected, first, K)
 
         # demod the detected frame's data symbols (one EOO frame =
-        # Ns+2 OFDM symbols starting at the frame boundary)
+        # Ns+2 OFDM symbols starting at the frame boundary).  Window
+        # selection is a one-hot contraction over the K static frame
+        # slices — an element gather here would be the exact VPU pattern
+        # the rest of this program just eliminated
         wlen = Nmf + M + Ncp
-        widx = (jnp.clip(eoo_frame, 0, K - 1)[:, None] * Nmf
-                + jnp.arange(wlen, dtype=jnp.int32)[None, :])
-        wr = jnp.take_along_axis(ar, widx, axis=1)
-        wi = jnp.take_along_axis(ai, widx, axis=1)
+        sel = jax.nn.one_hot(jnp.clip(eoo_frame, 0, K - 1), K,
+                             dtype=ar.dtype)                  # (B, K)
+        wr_stack = jnp.stack([ar[:, k * Nmf: k * Nmf + wlen]
+                              for k in range(K)], axis=1)     # (B, K, wlen)
+        wi_stack = jnp.stack([ai[:, k * Nmf: k * Nmf + wlen]
+                              for k in range(K)], axis=1)
+        wr = jnp.einsum("bk,bkl->bl", sel, wr_stack)
+        wi = jnp.einsum("bk,bkl->bl", sel, wi_stack)
         n_rs = wlen // (M + Ncp)                              # Ns + 2
         rxw = cplx.C(wr, wi).reshape(B, n_rs, M + Ncp)
         rx_dash = ofdm.strip_cp(rxw, M, Ncp, cfg.time_offset)

@@ -26,7 +26,7 @@ import os
 
 import numpy as np
 
-from ..config import RADAEConfig
+from ..config import flagship_config
 from ..convert import load_checkpoint, load_torch_checkpoint
 from ..data.io import write_f32
 from ..models.core import CoreDecoder
@@ -55,10 +55,9 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     num_features = 21 if args.auxdata else 20
-    cfg = RADAEConfig(feature_dim=num_features, latent_dim=args.latent_dim,
-                      EbNodB=100, rate_Fs=True, pilots=True, pilot_eq=True,
-                      eq_mean6=False, cyclic_prefix=0.004, coarse_mag=True,
-                      time_offset=-16, bottleneck=args.bottleneck)
+    cfg = flagship_config(feature_dim=num_features,
+                          latent_dim=args.latent_dim,
+                          bottleneck=args.bottleneck)
     decoder = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
     if args.model_name in ("", "random"):
         params = {"decoder": decoder.init(args.seed)}
@@ -86,6 +85,11 @@ def main(argv=None):
                                n_windows=args.n_windows,
                                refine=args.refine, eoo=args.eoo)
     out = rx(device_put_tree(params["decoder"]), packed)
+    if not isinstance(out, dict):
+        # legacy 4-tuple form (--n-windows 1 --no-refine --no-eoo)
+        out = {"features": out[0], "candidate": out[1],
+               "tmax": out[2], "fmax": out[3],
+               "win": np.zeros(B, np.int32)}
     feats = np.asarray(out["features"]).reshape(B, -1, cfg.feature_dim)
     cand = np.asarray(out["candidate"])
     tmax = np.asarray(out["tmax"])

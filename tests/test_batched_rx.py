@@ -512,6 +512,78 @@ def test_rx_batch_cli(flagship, tmp_path):
         assert np.isfinite(fh).all()
 
 
+def test_eoo_threshold_robust_to_zero_padding(flagship):
+    """Regression (r5 review finding): a short over zero-padded out to
+    the 12-window acquisition length must NOT trigger false end-of-over
+    detections — empty (exact-zero) windows are excluded from the sigma
+    average, otherwise they deflate the EOO threshold by ~2x and data
+    frames cross it."""
+    import jax.numpy as jnp
+    from radae_tpu.apps.txe import RadaeTx
+    from radae_tpu.models.core import CoreDecoder
+    from radae_tpu.runtime import make_batched_receiver
+    from radae_tpu.utils.hostio import device_put_tree
+
+    params, feats = flagship
+    tx = RadaeTx(params=params, auxdata=True)
+    n_data = 4
+    data = np.concatenate(
+        [tx.do_radae_tx(feats[i * 12:(i + 1) * 12].flatten())
+         for i in range(n_data)])
+    over = np.concatenate([data, tx.do_eoo()])
+    cfg = tx.cfg
+    K = 12
+    B = 2
+    T = max((K + 1) * cfg.Nmf + cfg.M + cfg.Ncp,
+            K * cfg.Nmf + (n_data + 1) * cfg.Nmf + cfg.Ncp + cfg.M)
+    streams = np.zeros((B, T), np.complex64)
+    rng = np.random.default_rng(9)
+    streams[0, : len(over)] = over           # EOO present
+    streams[1, : len(data)] = data           # data only, no EOO
+    # light noise ONLY over the signal extent; the tail stays EXACT zero
+    # (the deflation scenario: >half the acquisition windows are empty)
+    n_sig = len(over)
+    streams[:, :n_sig] += 0.02 * (
+        rng.standard_normal((B, n_sig))
+        + 1j * rng.standard_normal((B, n_sig)))
+
+    decoder = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
+    dec_params = device_put_tree(params["decoder"])
+    packed = np.stack([streams.real, streams.imag], -1).astype(np.float32)
+    rx = make_batched_receiver(cfg, decoder, B, n_frames=n_data,
+                               n_windows=K, refine=True, eoo=True)
+    out = rx(dec_params, jnp.asarray(packed))
+    assert np.asarray(out["candidate"]).all()
+    det = np.asarray(out["eoo_detected"])
+    ef = np.asarray(out["eoo_frame"])
+    win = np.asarray(out["win"])
+    assert det[0], (det, ef)
+    assert ef[0] == n_data - win[0], (ef, win)   # at the true position
+    assert not det[1], (det, ef)                 # no false EOO on row 1
+
+
+def test_rx_batch_cli_legacy_single_window(flagship, tmp_path):
+    """Regression (r5 review finding): the documented one-shot flags
+    (--n-windows 1 --no-refine --no-eoo) exercise the legacy tuple
+    return and must not crash."""
+    from radae_tpu.apps.txe import RadaeTx
+    from radae_tpu.tools import rx_batch
+
+    params, feats = flagship
+    tx = RadaeTx(params=params, auxdata=True)
+    over = np.concatenate(
+        [tx.do_radae_tx(feats[i * 12:(i + 1) * 12].flatten())
+         for i in range(3)])
+    s = np.concatenate([over, np.zeros(2 * tx.cfg.Nmf, np.complex64)])
+    fn = tmp_path / "one.f32"
+    s.astype(np.complex64).tofile(fn)
+    ckpt = os.path.join(FIX, "model_fs_flagship.npz")
+    rc = rx_batch.main([ckpt, str(tmp_path / "out"), str(fn),
+                        "--n-windows", "1", "--no-refine", "--no-eoo"])
+    assert rc == 0
+    assert (tmp_path / "out" / "one_feat.f32").exists()
+
+
 def test_barrel_shift_alignment_matches_gather_semantics():
     """The receiver's gather-free alignment (log2(Nmf) conditional static
     shifts + derotate-after-align phasor tables) must reproduce the
