@@ -120,7 +120,7 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
                           fused_quant=None, fused_dtype=None,
                           fused_merged=False,
                           n_windows: int = 1, refine: bool = False,
-                          eoo: bool = False):
+                          eoo: bool = False, cp_correct=None):
     """Whole-over batched receiver: ONE jitted program that acquires,
     aligns, derotates and decodes B independent raw IQ streams.
 
@@ -156,7 +156,17 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
       * eoo=True scans every frame position for the end-of-over marker
         (the 2-frame P,E..E sequence, reference: radae.py:206-222) with
         the product receiver's threshold, and demodulates the detected
-        EOO frame's embedded data symbols (reference: dsp.py:513-524).
+        EOO frame's embedded data symbols (reference: dsp.py:513-524);
+      * cp_correct=True adds the cyclic-prefix frequency discriminator
+        the streaming receiver's CP guard uses (dsp/acquisition.py
+        est_cp_foff — a capability the reference lacks): the pilot
+        correlation metric is Tmf-periodic in frequency, so coarse+
+        refine can lock an 8.33 Hz alias under fading; each OFDM
+        symbol's CP repeats exactly M samples later, measuring the TRUE
+        residual unambiguously within +-Fs/2M = +-25 Hz.  The residual
+        is estimated from the first frames' CP windows after the fmax
+        derotation (static slices, fade-weighted by construction), the
+        buffer is re-derotated by it, and the reported fmax includes it.
 
     T must be >= (n_windows+1)*Nmf + M + Ncp (acquisition windows) and
     >= tmax_max + (n_frames+1)*Nmf + Ncp for a full decode; short
@@ -168,7 +178,9 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
                                      make_refine)
 
     M, Ncp, Nmf, Fs, Ns = cfg.M, cfg.Ncp, cfg.Nmf, cfg.Fs, cfg.Ns
-    extended = (n_windows > 1) or refine or eoo
+    extended = (n_windows > 1) or refine or eoo or bool(cp_correct)
+    if cp_correct is None:
+        cp_correct = extended       # on by default on the product path
     if n_windows > 1:
         detect_w = make_detect_pilots_windowed(cfg, batch, n_windows,
                                                frange=frange, fstep=fstep)
@@ -241,23 +253,58 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
         # of a 128-wide "lo" table and a ceil(n_keep/128)-wide "hi" table
         # (t = 128·hi + lo), cutting sin/cos evaluations ~80x — the other
         # half of this program's former device time.
-        theta = -2.0 * jnp.pi * fmax / Fs                     # (B,)
-        hi_n = -(-n_keep // 128)
-        a_lo = theta[:, None] * jnp.arange(128, dtype=jnp.float32)[None, :]
-        a_hi = theta[:, None] * (
-            128.0 * jnp.arange(hi_n, dtype=jnp.float32)[None, :]
-            + start[:, None].astype(jnp.float32))
-        cl, sl = jnp.cos(a_lo), jnp.sin(a_lo)                 # (B, 128)
-        ch, sh_ = jnp.cos(a_hi), jnp.sin(a_hi)                # (B, hi_n)
-        B_ = xr.shape[0]
-        ramp_r = (ch[:, :, None] * cl[:, None, :]
-                  - sh_[:, :, None] * sl[:, None, :]).reshape(
-                      B_, hi_n * 128)[:, :n_keep]
-        ramp_i = (ch[:, :, None] * sl[:, None, :]
-                  + sh_[:, :, None] * cl[:, None, :]).reshape(
-                      B_, hi_n * 128)[:, :n_keep]
-        ar = xr * ramp_r - xi * ramp_i
-        ai = xr * ramp_i + xi * ramp_r
+        def derotate(wr, wi, f_hz, offs):
+            theta = -2.0 * jnp.pi * f_hz / Fs                 # (B,)
+            hi_n = -(-n_keep // 128)
+            a_lo = theta[:, None] * jnp.arange(128,
+                                               dtype=jnp.float32)[None, :]
+            a_hi = theta[:, None] * (
+                128.0 * jnp.arange(hi_n, dtype=jnp.float32)[None, :]
+                + offs[:, None].astype(jnp.float32))
+            cl, sl = jnp.cos(a_lo), jnp.sin(a_lo)             # (B, 128)
+            ch, sh_ = jnp.cos(a_hi), jnp.sin(a_hi)            # (B, hi_n)
+            B_ = wr.shape[0]
+            ramp_r = (ch[:, :, None] * cl[:, None, :]
+                      - sh_[:, :, None] * sl[:, None, :]).reshape(
+                          B_, hi_n * 128)[:, :n_keep]
+            ramp_i = (ch[:, :, None] * sl[:, None, :]
+                      + sh_[:, :, None] * cl[:, None, :]).reshape(
+                          B_, hi_n * 128)[:, :n_keep]
+            return (wr * ramp_r - wi * ramp_i,
+                    wr * ramp_i + wi * ramp_r)
+
+        ar, ai = derotate(xr, xi, fmax, start)
+
+        if cp_correct:
+            # CP frequency discriminator (streaming path's est_cp_foff):
+            # each symbol's CP repeats M samples later; the aggregated
+            # conj(cp)*tail phasor's angle measures the residual offset
+            # unambiguously within +-Fs/2M, catching the 8.33 Hz
+            # pilot-metric aliases coarse+refine can lock under fading.
+            # Deep-faded symbols contribute small magnitude, so the sum
+            # is fade-weighted by construction.
+            d_skip = Ncp // 2                 # skip multipath ISI region
+            w_cp = Ncp - d_skip
+            n_sym = min(2 * (Ns + 1),
+                        max(1, (n_keep - M - Ncp) // (M + Ncp)))
+            cr = ci = 0.0
+            for k in range(n_sym):
+                st_ = k * (M + Ncp) + d_skip
+                a_r = ar[:, st_: st_ + w_cp]
+                a_i = ai[:, st_: st_ + w_cp]
+                b_r = ar[:, st_ + M: st_ + M + w_cp]
+                b_i = ai[:, st_ + M: st_ + M + w_cp]
+                cr = cr + (a_r * b_r + a_i * b_i).sum(axis=1)
+                ci = ci + (a_r * b_i - a_i * b_r).sum(axis=1)
+            f_res = jnp.arctan2(ci, cr) * (Fs / (2.0 * jnp.pi * M))
+            # recenter ONLY on flagrant residuals (alias steps are
+            # 8.33 Hz): on a clean lock the one-shot CP estimate is
+            # noisier than refine's output, so continuous correction
+            # would degrade it — same gating idea as the streaming CP
+            # guard, which recenters rather than tracks
+            f_res = jnp.where(jnp.abs(f_res) > 3.0, f_res, 0.0)
+            ar, ai = derotate(ar, ai, f_res, jnp.zeros_like(start))
+            fmax = fmax + f_res
 
         # Pad the aligned buffer by edge replication up to every static
         # window the frame scan / EOO scan will slice — identical to the

@@ -584,6 +584,88 @@ def test_rx_batch_cli_legacy_single_window(flagship, tmp_path):
     assert (tmp_path / "out" / "one_feat.f32").exists()
 
 
+def test_cp_discriminator_corrects_alias_lock(flagship):
+    """The in-program CP frequency discriminator (streaming CP guard's
+    est_cp_foff, a capability the reference lacks): when acquisition
+    locks onto the 8.33 Hz pilot-metric alias (simulated by biasing the
+    refine stage), the CP correlation must measure the residual and the
+    receiver must report fmax near truth and decode cleanly."""
+    import jax.numpy as jnp
+    from radae_tpu.apps.txe import RadaeTx
+    from radae_tpu.models.core import CoreDecoder, distortion_loss
+    from radae_tpu.runtime import make_batched_receiver
+    from radae_tpu.ops import acquisition_op
+    from radae_tpu.utils.hostio import device_put_tree
+
+    params, feats = flagship
+    tx = RadaeTx(params=params, auxdata=True)
+    n_data = 6
+    over = np.concatenate(
+        [tx.do_radae_tx(feats[i * 12:(i + 1) * 12].flatten())
+         for i in range(n_data + 1)])
+    ref = feats[: n_data * 12, :20]
+    cfg = tx.cfg
+    B = 2
+    foff = 10.0
+    alias = 1.0 / cfg.Tmf                    # 8.33 Hz
+    rng = np.random.default_rng(4)
+    T = 2 * cfg.Nmf + len(over) + 2 * cfg.Nmf + cfg.M + cfg.Ncp
+    streams = np.zeros((B, T), np.complex64)
+    n = np.arange(len(over))
+    streams[:, : len(over)] = over * np.exp(
+        1j * 2 * np.pi * foff * n / cfg.Fs)
+    streams += 0.05 * (rng.standard_normal(streams.shape)
+                       + 1j * rng.standard_normal(streams.shape))
+
+    # bias refine by exactly one alias step to simulate the false lock
+    orig = acquisition_op.make_refine
+
+    def biased_refine(cfg_, batch, **kw):
+        fn = orig(cfg_, batch, **kw)
+
+        def wrapped(xr, xi, tmax, fmax):
+            t2, f2 = fn(xr, xi, tmax, fmax)
+            return t2, f2 + alias
+        return wrapped
+
+    acquisition_op.make_refine = biased_refine
+    try:
+        decoder = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
+        dec_params = device_put_tree(params["decoder"])
+        packed = np.stack([streams.real, streams.imag],
+                          -1).astype(np.float32)
+        rx_on = make_batched_receiver(cfg, decoder, B, n_frames=n_data,
+                                      n_windows=2, refine=True,
+                                      cp_correct=True)
+        rx_off = make_batched_receiver(cfg, decoder, B, n_frames=n_data,
+                                       n_windows=2, refine=True,
+                                       cp_correct=False)
+        out_on = rx_on(dec_params, jnp.asarray(packed))
+        out_off = rx_off(dec_params, jnp.asarray(packed))
+    finally:
+        acquisition_op.make_refine = orig
+
+    assert np.asarray(out_on["candidate"]).all()
+    # without correction the receiver reports the alias frequency
+    assert abs(float(np.asarray(out_off["fmax"])[0]) - (foff + alias)) < 1.0
+    # with the CP discriminator the alias is measured and removed
+    f_on = np.asarray(out_on["fmax"])
+    assert np.abs(f_on - foff).max() < 1.0, f_on
+
+    def loss_of(out):
+        w0 = int(np.asarray(out["win"])[0])
+        hat = np.asarray(out["features"]).reshape(
+            B, -1, cfg.feature_dim)[0][:, :20]
+        r = ref[w0 * 12:]
+        m = min(len(r), len(hat))
+        return float(np.asarray(distortion_loss(
+            r[None, :m], hat[None, :m]))[0])
+
+    # and the decode through the corrected buffer is materially better
+    assert loss_of(out_on) < loss_of(out_off) - 0.1, \
+        (loss_of(out_on), loss_of(out_off))
+
+
 def test_barrel_shift_alignment_matches_gather_semantics():
     """The receiver's gather-free alignment (log2(Nmf) conditional static
     shifts + derotate-after-align phasor tables) must reproduce the
