@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import calibration
 from .config import RADAEConfig
 from .models.core import CoreEncoder, CoreDecoder
 from .ops import cplx, ofdm
@@ -168,10 +169,22 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
         derotation (static slices, fade-weighted by construction), the
         buffer is re-derotated by it, and the reported fmax includes it.
 
+    The extended-output dict also carries "snrdB_3k" (B,): the per-stream
+    pilot-based SNR estimate in a 3 kHz bandwidth (the streaming
+    receiver's serving telemetry; AWGN-calibrated like the reference's).
+
     T must be >= (n_windows+1)*Nmf + M + Ncp (acquisition windows) and
     >= tmax_max + (n_frames+1)*Nmf + Ncp for a full decode; short
     buffers are edge-padded (replicating the old clamped-gather
     semantics exactly).
+
+    Known limit vs the streaming receiver: sample-clock offset.  The
+    whole-over program aligns once and decodes at a fixed Nmf stride,
+    so accumulated clock drift must stay inside the CP over the decode
+    span — at the spec's 200 ppm that is ~20 s of over (200e-6 * 20 s *
+    8 kHz = 32 samples = Ncp).  Longer overs at large ppm need the
+    streaming receiver's nin slip mechanism (apps/rxe.py) or a
+    host-side resample.
     """
     from .ops.acquisition_op import (make_detect_pilots,
                                      make_detect_pilots_windowed,
@@ -343,10 +356,42 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
         if not extended:
             return feats, candidate, tmax, fmax
         out = {"features": feats, "candidate": candidate,
-               "tmax": tmax, "fmax": fmax, "win": win}
+               "tmax": tmax, "fmax": fmax, "win": win,
+               "snrdB_3k": _est_snr(ar, ai)}
         if eoo:
             out.update(_eoo_scan(ar, ai, Dthresh))
         return out
+
+    _idx = pilots_ops.window3_index(cfg.Nc)
+    _pmat = pilots_ops.ls_pmat(cfg.w, cfg.Fs)
+
+    def _est_snr(ar, ai):
+        """Per-stream SNR estimate (dB in a 3 kHz bandwidth) from the
+        decoded frames' pilot rows — the streaming receiver's estimator
+        (dsp.py:437-456 analog, dsp/streaming.py) batched: rotate each
+        received pilot row by the LS channel estimate's phase, compare
+        total power to the quadrature (noise-only) power, correct by the
+        refit m/c line (calibration.py, shared with the C runtime), and
+        average the per-frame dB values over the over (the streaming
+        path's 1 s IIR equivalent)."""
+        po = Ncp + cfg.time_offset
+        pr = jnp.stack([ar[:, k * Nmf + po: k * Nmf + po + M]
+                        for k in range(n_frames)], axis=1)    # (B, K, M)
+        pi_ = jnp.stack([ai[:, k * Nmf + po: k * Nmf + po + M]
+                         for k in range(n_frames)], axis=1)
+        P_sym = ofdm.dft(cplx.C(pr, pi_), cfg.Wfwd)           # (B, K, Nc)
+        rx_p = pilots_ops.est_pilots_ls(P_sym, cfg.P, _idx, _pmat,
+                                        cfg.w, cfg.Fs)
+        R = P_sym * rx_p.unit().conj()
+        S1 = P_sym.abs2().sum(axis=-1)                        # (B, K)
+        S2 = (R.im ** 2).sum(axis=-1) + 1e-12
+        snr = jnp.maximum(S1 / (2.0 * S2) - 1.0, 0.1)
+        snr_db = (10.0 * jnp.log10(snr)
+                  - calibration.SNR_CAL_C) / calibration.SNR_CAL_M
+        Rs = cfg.Fs / M
+        snr3k = (snr_db + 10.0 * np.log10(Rs * cfg.Nc / 3000.0)
+                 + 10.0 * np.log10((M + Ncp) / M))
+        return snr3k.mean(axis=1)
 
     def _eoo_scan(ar, ai, Dthresh):
         """End-of-over detection + data demod on the aligned, derotated

@@ -666,6 +666,52 @@ def test_cp_discriminator_corrects_alias_lock(flagship):
         (loss_of(out_on), loss_of(out_off))
 
 
+def test_batched_receiver_snr_estimate(flagship):
+    """Per-stream serving telemetry: the batched receiver's pilot-based
+    SNR estimate must track the injected AWGN SNR within the streaming
+    estimator's calibration budget (<=2 dB over the 0-10 dB range,
+    tools/est_snr.py refit; reference est_snr.py is AWGN-only too)."""
+    import jax.numpy as jnp
+    from radae_tpu.apps.txe import RadaeTx
+    from radae_tpu.models.core import CoreDecoder
+    from radae_tpu.runtime import make_batched_receiver
+    from radae_tpu.utils.hostio import device_put_tree
+
+    params, feats = flagship
+    tx = RadaeTx(params=params, auxdata=True)
+    n_data = 16
+    over = np.concatenate(
+        [tx.do_radae_tx(feats[(i * 12) % 480:(i * 12) % 480 + 12]
+                        .flatten())
+         for i in range(n_data + 1)])
+    cfg = tx.cfg
+    snrs = [0.0, 3.0, 6.0, 10.0]
+    # two independent noise realisations per SNR, estimates averaged —
+    # a single short over's frame-mean jitters ~1 dB
+    B = 2 * len(snrs)
+    T = 2 * cfg.Nmf + len(over) + 2 * cfg.Nmf + cfg.M + cfg.Ncp
+    streams = np.zeros((B, T), np.complex64)
+    for b in range(B):
+        s = np.zeros(T, np.complex64)
+        s[: len(over)] = over
+        streams[b] = _noise_at_snr(s, snrs[b % len(snrs)],
+                                   np.random.default_rng(70 + b))
+
+    decoder = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
+    dec_params = device_put_tree(params["decoder"])
+    packed = np.stack([streams.real, streams.imag], -1).astype(np.float32)
+    rx = make_batched_receiver(cfg, decoder, B, n_frames=n_data,
+                               n_windows=2, refine=True)
+    out = rx(dec_params, jnp.asarray(packed))
+    assert np.asarray(out["candidate"]).all()
+    raw = np.asarray(out["snrdB_3k"])
+    est = 0.5 * (raw[: len(snrs)] + raw[len(snrs):])
+    for b, snr in enumerate(snrs):
+        assert abs(est[b] - snr) <= 2.0, (snrs, raw, est)
+    # and it is monotone over the range
+    assert (np.diff(est) > 0).all(), est
+
+
 def test_barrel_shift_alignment_matches_gather_semantics():
     """The receiver's gather-free alignment (log2(Nmf) conditional static
     shifts + derotate-after-align phasor tables) must reproduce the
