@@ -89,7 +89,8 @@ def main(argv=None):
         # legacy 4-tuple form (--n-windows 1 --no-refine --no-eoo)
         out = {"features": out[0], "candidate": out[1],
                "tmax": out[2], "fmax": out[3],
-               "win": np.zeros(B, np.int32)}
+               "win": np.zeros(B, np.int32),
+               "snrdB_3k": np.full(B, np.nan, np.float32)}
     feats = np.asarray(out["features"]).reshape(B, -1, cfg.feature_dim)
     cand = np.asarray(out["candidate"])
     tmax = np.asarray(out["tmax"])
@@ -104,9 +105,10 @@ def main(argv=None):
     for b, f in enumerate(args.rx_files):
         stem = os.path.splitext(os.path.basename(f))[0]
         ef = int(eoo_frame[b]) if args.eoo and eoo_det[b] else -1
+        snr = float(np.asarray(out["snrdB_3k"])[b])
         print(f"{stem}: acquired {int(cand[b])} tmax {int(tmax[b]):6d} "
               f"fmax {float(fmax[b]):+7.2f} Hz win {int(win[b]):2d} "
-              f"eoo_frame {ef:3d}")
+              f"eoo_frame {ef:3d} snr3k {snr:+6.1f} dB")
         if not cand[b]:
             continue
         fh = feats[b]
