@@ -310,12 +310,20 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
                 cr = cr + (a_r * b_r + a_i * b_i).sum(axis=1)
                 ci = ci + (a_r * b_i - a_i * b_r).sum(axis=1)
             f_res = jnp.arctan2(ci, cr) * (Fs / (2.0 * jnp.pi * M))
-            # recenter ONLY on flagrant residuals (alias steps are
-            # 8.33 Hz): on a clean lock the one-shot CP estimate is
-            # noisier than refine's output, so continuous correction
-            # would degrade it — same gating idea as the streaming CP
-            # guard, which recenters rather than tracks
-            f_res = jnp.where(jnp.abs(f_res) > 3.0, f_res, 0.0)
+            # The pilot metric is periodic in exactly 1/Tmf = 8.33 Hz,
+            # so a genuine false lock is off by an integer number of
+            # alias steps — SNAP the measured residual to that grid and
+            # recenter by the exact step, only when the estimate is near
+            # a nonzero multiple.  This both keeps clean locks untouched
+            # (on a good lock the one-shot CP estimate is noisier than
+            # refine) and rejects interferer bias: a strong in-band sine
+            # has perfect CP correlation and drags the raw estimate by
+            # several Hz, but not onto the alias grid.
+            f_alias = float(1.0 / cfg.Tmf)
+            k = jnp.round(f_res / f_alias)
+            k = jnp.clip(k, -3.0, 3.0)          # CP range is +-Fs/2M
+            near = jnp.abs(f_res - k * f_alias) < 3.0
+            f_res = jnp.where((k != 0.0) & near, k * f_alias, 0.0)
             ar, ai = derotate(ar, ai, f_res, jnp.zeros_like(start))
             fmax = fmax + f_res
 

@@ -712,6 +712,100 @@ def test_batched_receiver_snr_estimate(flagship):
     assert (np.diff(est) > 0).all(), est
 
 
+def test_windowed_receiver_never_acquires_on_noise_or_sine(flagship):
+    """Negative acquisition gates for the batched path (reference ctest
+    category 5, CMakeLists.txt:191-208: pass = 'Acquisition failed'):
+    noise-only and sine-only streams must never clear the consecutive-
+    match candidate machine across the full 12-window budget."""
+    import jax.numpy as jnp
+    from radae_tpu.models.core import CoreDecoder
+    from radae_tpu.runtime import make_batched_receiver
+    from radae_tpu.utils.hostio import device_put_tree
+
+    params, _ = flagship
+    from radae_tpu.config import flagship_config
+    cfg = flagship_config()
+    K = 12
+    B = 8
+    T = (K + 2) * cfg.Nmf + cfg.M + cfg.Ncp
+    rng = np.random.default_rng(31)
+    streams = np.zeros((B, T), np.complex64)
+    # rows 0-3: AWGN only; rows 4-7: strong in-band sine (+ light noise
+    # so the correlator statistics are realistic)
+    streams[:4] = (rng.standard_normal((4, T))
+                   + 1j * rng.standard_normal((4, T)))
+    t = np.arange(T)
+    for b, f0 in enumerate([1000.0, 1400.0, 1500.0, 1850.0]):
+        streams[4 + b] = (3.0 * np.exp(1j * 2 * np.pi * f0 * t / cfg.Fs)
+                          + 0.1 * (rng.standard_normal(T)
+                                   + 1j * rng.standard_normal(T)))
+
+    decoder = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
+    dec_params = device_put_tree(params["decoder"])
+    packed = np.stack([streams.real, streams.imag], -1).astype(np.float32)
+    rx = make_batched_receiver(cfg, decoder, B, n_frames=2,
+                               n_windows=K, refine=True)
+    out = rx(dec_params, jnp.asarray(packed))
+    cand = np.asarray(out["candidate"])
+    assert not cand.any(), (cand, np.asarray(out["fmax"]),
+                            np.asarray(out["win"]))
+
+
+def test_windowed_acquisition_with_sine_interferer(flagship):
+    """Co-channel interference gate for the batched path (reference
+    README.md:449: acquire with a -3 dBc sine within 2 s): a 16-window
+    budget (1.92 s) with the interferer at carrier-band frequencies."""
+    import jax.numpy as jnp
+    from radae_tpu.apps.txe import RadaeTx
+    from radae_tpu.models.core import CoreDecoder
+    from radae_tpu.runtime import make_batched_receiver
+    from radae_tpu.utils.hostio import device_put_tree
+
+    params, feats = flagship
+    tx = RadaeTx(params=params, auxdata=True)
+    over = np.concatenate(
+        [tx.do_radae_tx(feats[i * 12:(i + 1) * 12].flatten())
+         for i in range(19)])
+    cfg = tx.cfg
+    K = 16
+    B = 4
+    rng = np.random.default_rng(12)
+    pads = rng.integers(0, cfg.Nmf, B)
+    foffs = rng.uniform(-30, 30, B)
+    sine_f = [1100.0, 1450.0, 1600.0, 1900.0]
+    T = (K + 2) * cfg.Nmf + cfg.M + cfg.Ncp
+    S = np.sqrt((np.abs(over) ** 2).mean())
+    streams = np.zeros((B, T), np.complex64)
+    t = np.arange(T)
+    n = np.arange(len(over))
+    for b in range(B):
+        sig = over * np.exp(1j * 2 * np.pi * foffs[b] * n / cfg.Fs)
+        m = min(len(sig), T - pads[b])
+        streams[b, pads[b]: pads[b] + m] = sig[:m]
+        # -3 dBc sine interferer + 10 dB SNR noise
+        streams[b] += (S * 10 ** (-3 / 20)
+                       * np.exp(1j * 2 * np.pi * sine_f[b] * t / cfg.Fs))
+        streams[b] = _noise_at_snr(streams[b], 10.0,
+                                   np.random.default_rng(90 + b))
+
+    decoder = CoreDecoder(cfg.latent_dim, cfg.feature_dim)
+    dec_params = device_put_tree(params["decoder"])
+    packed = np.stack([streams.real, streams.imag], -1).astype(np.float32)
+    rx = make_batched_receiver(cfg, decoder, B, n_frames=2,
+                               n_windows=K, refine=True)
+    out = rx(dec_params, jnp.asarray(packed))
+    cand = np.asarray(out["candidate"])
+    tmax = np.asarray(out["tmax"])
+    fmax = np.asarray(out["fmax"])
+    ok = 0
+    for b in range(B):
+        t_err = (int(tmax[b]) - (pads[b] + cfg.Ncp)) % cfg.Nmf
+        t_err = min(t_err, cfg.Nmf - t_err)
+        if cand[b] and t_err <= 4 and abs(float(fmax[b]) - foffs[b]) <= 3:
+            ok += 1
+    assert ok >= B - 1, (ok, cand, tmax - pads - cfg.Ncp, fmax - foffs)
+
+
 def test_barrel_shift_alignment_matches_gather_semantics():
     """The receiver's gather-free alignment (log2(Nmf) conditional static
     shifts + derotate-after-align phasor tables) must reproduce the
