@@ -134,6 +134,27 @@ def test_batched_receiver_sharded_over_mesh(flagship):
     np.testing.assert_allclose(np.asarray(f8), np.asarray(f1),
                                rtol=1e-4, atol=1e-5)
 
+    # product-grade program (windowed retry + refine + CP + EOO + SNR)
+    # shards identically: same acquisition and decode under the mesh
+    T2 = max(3 * cfg.Nmf + cfg.M + cfg.Ncp,
+             2 * cfg.Nmf + (n_frames + 1) * cfg.Nmf + cfg.Ncp + cfg.M)
+    pad2 = np.zeros((B, max(0, T2 - T), 2), np.float32)
+    packed2 = np.concatenate([packed, pad2], axis=1)
+    rxp = make_batched_receiver(cfg, decoder, B, n_frames,
+                                n_windows=2, refine=True, eoo=True)
+    o1 = rxp(dec_params, jnp.asarray(packed2))
+    with mesh:
+        o8 = rxp(dec_params, jax.device_put(packed2, sh))
+    assert np.asarray(o8["candidate"]).all()
+    np.testing.assert_array_equal(np.asarray(o8["tmax"]),
+                                  np.asarray(o1["tmax"]))
+    np.testing.assert_allclose(np.asarray(o8["features"]),
+                               np.asarray(o1["features"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o8["snrdB_3k"]),
+                               np.asarray(o1["snrdB_3k"]),
+                               rtol=1e-4, atol=1e-4)
+
 
 def test_batched_receiver_fused_int8_matches_unfused(flagship):
     """The whole-over receiver with the Pallas int8 decoder in its scan
