@@ -129,7 +129,8 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
         (features (B, n_frames, 12, feature_dim),
          candidate (B,) bool, tmax (B,) int32, fmax (B,) float32)
 
-    or, when any of (n_windows > 1, refine, eoo) is set, a dict with keys
+    or, when any of (n_windows > 1, refine, eoo, cp_correct) is set, a
+    dict with keys
     features/candidate/tmax/fmax/win plus (when eoo) eoo_detected (B,)
     bool, eoo_frame (B,) int32 (first frame position whose end-of-over
     correlation exceeds threshold; n_frames+1 if none) and eoo_bits
@@ -148,7 +149,9 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
     Product-grade acquisition options (matching the streaming receiver's
     budget, reference: rx.py:146-205, radae_rxe.py:198-248):
       * n_windows=K retries the detection grid over K successive 2-frame
-        windows and takes each row's FIRST hit — the product receiver's
+        windows with the reference's search->candidate->acquired machine
+        (acquire on the first run of consecutive timing-consistent hits
+        — see make_detect_pilots_windowed) — the product receiver's
         once-per-120ms retry loop inside the same XLA program (K=12
         covers the 1.5 s acquisition budget, README.md:447);
       * refine=True adds the fine +-2 Hz / 0.25 Hz, +-2 sample search
@@ -166,8 +169,12 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
         symbol's CP repeats exactly M samples later, measuring the TRUE
         residual unambiguously within +-Fs/2M = +-25 Hz.  The residual
         is estimated from the first frames' CP windows after the fmax
-        derotation (static slices, fade-weighted by construction), the
-        buffer is re-derotated by it, and the reported fmax includes it.
+        derotation (static slices, fade-weighted by construction),
+        SNAPPED to the 1/Tmf alias grid (which removes the one-shot
+        estimate's noise from the correction and rejects sine-interferer
+        bias — see the inline comment), the buffer is re-derotated by
+        the snapped step, and the reported fmax includes it.  Defaults
+        to ON whenever any other product option is set.
 
     The extended-output dict also carries "snrdB_3k" (B,): the per-stream
     pilot-based SNR estimate in a 3 kHz bandwidth (the streaming
