@@ -7,6 +7,7 @@ TOOLS = {
     "inference": ("radae_tpu.tools.inference", "main"),
     "rx": ("radae_tpu.tools.rx", "main"),
     "rx_batch": ("radae_tpu.tools.rx_batch", "main"),
+    "tx_batch": ("radae_tpu.tools.tx_batch", "main"),
     "loss": ("radae_tpu.tools.loss", "main"),
     "evaluate": ("radae_tpu.tools.evaluate", "main"),
     "txe": ("radae_tpu.apps.txe", "main"),

@@ -827,6 +827,53 @@ def test_windowed_acquisition_with_sine_interferer(flagship):
     assert ok >= B - 1, (ok, cand, tmax - pads - cfg.Ncp, fmax - foffs)
 
 
+def test_tx_batch_rx_batch_roundtrip(flagship, tmp_path):
+    """End-to-end serving CLI round trip: tx_batch encodes two feature
+    files into IQ streams in one program (with EOO appended), rx_batch
+    decodes them in one program — recovered features must match the
+    originals within the trained model's clean decode budget."""
+    from radae_tpu.models.core import distortion_loss
+    from radae_tpu.tools import rx_batch, tx_batch
+
+    params, feats = flagship
+    ckpt = os.path.join(FIX, "model_fs_flagship.npz")
+    lens = [8 * 12, 6 * 12]
+    ffiles = []
+    for k, n in enumerate(lens):
+        f36 = np.zeros((n, 36), np.float32)
+        f36[:, :20] = feats[k * 96:(k * 96) + n, :20]
+        fn = tmp_path / f"in{k}.f32"
+        f36.astype(np.float32).tofile(fn)
+        ffiles.append(str(fn))
+
+    rc = tx_batch.main([ckpt, str(tmp_path / "iq")] + ffiles)
+    assert rc == 0
+    iq_files = [str(tmp_path / "iq" / f"in{k}_iq.f32") for k in range(2)]
+    for k, n in enumerate(lens):
+        assert os.path.exists(iq_files[k])
+        iq = np.fromfile(iq_files[k], np.complex64)
+        # n/12 frames * Nmf samples + the EOO marker
+        assert len(iq) == (n // 12) * 960 + 1152, (k, len(iq))
+
+    rc = rx_batch.main([ckpt, str(tmp_path / "out")] + iq_files
+                       + ["--n-windows", "2"])
+    assert rc == 0
+    for k, n in enumerate(lens):
+        out = np.fromfile(tmp_path / "out" / f"in{k}_iq_feat.f32",
+                          np.float32).reshape(-1, 36)
+        ref = np.fromfile(ffiles[k], np.float32).reshape(-1, 36)
+        assert len(out) >= n - 2 * 12, (k, len(out), n)  # ramp-in only
+        # decode starts at the acquisition window; the EOO truncation
+        # keeps exactly the decoded data frames, so the tail rows of ref
+        # line up with out
+        off = n - len(out)
+        assert 0 <= off <= 2 * 12, (k, off)
+        loss = float(np.asarray(distortion_loss(
+            ref[None, off:off + len(out), :20],
+            out[None, :, :20]))[0])
+        assert loss < 0.6, (k, loss)
+
+
 def test_barrel_shift_alignment_matches_gather_semantics():
     """The receiver's gather-free alignment (log2(Nmf) conditional static
     shifts + derotate-after-align phasor tables) must reproduce the
