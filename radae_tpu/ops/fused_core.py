@@ -756,12 +756,14 @@ def make_fused_encoder_step(feature_dim: int, latent_dim: int,
     is a static lane-aligned 2-D slice.  encoder_state_zero emits the
     flat layout.
 
-    Measured keep-or-retire (round 5, work/sweep_enc.log, same-session
-    interleave at B=2048, scan=256): plain XLA tx 1.27M audio-s/s
-    (0.193 ms/frame) vs this kernel 1.48M (tile=256) / **1.68M
-    (tile=512, 0.146 ms/frame)** — a +32% KEEP for batch tx serving.
-    (Single-stream tx B=1 stays on the plain XLA path: a tile-1 kernel
-    has no batch to fill the MXU with.)"""
+    Measured keep-or-retire (round 5, work/sweep_enc.log + repeat
+    sweep_enc2.log, same-session interleaves at B=2048, scan=256):
+    plain XLA tx 1.27M/1.41M audio-s/s across the two sessions vs this
+    kernel at tile=256 1.48M/1.52M — a consistent +8-16% KEEP for batch
+    tx serving with tile=256.  tile=512 measured 1.68M once and 1.32M
+    on repeat (relay timing variance; don't trust single-session wins),
+    tile=128 is a wash.  (Single-stream tx B=1 stays on the plain XLA
+    path: a tile-1 kernel has no batch to fill the MXU with.)"""
     assert batch % tile == 0
     n_tiles = batch // tile
     dils = [d for _, _, d in _ENC_CONV_DIMS]

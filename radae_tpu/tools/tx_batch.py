@@ -5,8 +5,8 @@ the serving surface of runtime.make_streaming_tx_step.
 The streaming `txe` app mirrors the reference's radae_txe.py one frame at
 a time; this tool batches B independent streams through one scan-chained
 program (stateful encoder + OFDM mod + PA model per frame), optionally
-through the Pallas VMEM-resident fused encoder kernel (measured +32% over
-plain XLA at serving batch, work/sweep_enc.log).
+through the Pallas VMEM-resident fused encoder kernel (measured +8-16%
+over plain XLA at serving batch with tile=256, work/sweep_enc{,2}.log).
 
     python -m radae_tpu tx_batch model.npz out_dir in1_feat.f32 [...]
 
@@ -80,7 +80,7 @@ def main(argv=None):
             feats[b, :, NUM_USED_FEATURES] = -1.0
 
     step = make_streaming_tx_step(cfg, encoder, B, fused=args.fused,
-                                  fused_tile=min(512, B))
+                                  fused_tile=min(256, B))
     if args.fused:
         from ..ops.fused_core import encoder_weights, encoder_state_zero
         enc_params = tuple(jax.device_put(w)
