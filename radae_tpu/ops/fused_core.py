@@ -740,11 +740,15 @@ def decoder_weights(params, dtype=jnp.float32, quant=None,
 def make_fused_encoder_step(feature_dim: int, latent_dim: int,
                             batch: int, tile: int = 512,
                             nz: int = 3, bottleneck: int = 3,
+                            quant=None, compute_dtype=jnp.float32,
                             interpret: bool = False):
     """Fused encoder step: features (B, nz*4, F) -> z (B, nz, latent).
 
     Mirrors make_fused_decoder_step for the encoder stack (no GLU; conv
-    dilations 1,2,2,2,2 carried as per-layer history rings).
+    dilations 1,2,2,2,2 carried as per-layer history rings).  quant="int8"
+    takes weights from encoder_weights(quant="int8") — int8 operands with
+    trailing per-output-column scale rows, output-side dequant, the same
+    contract as the decoder kernel and the C runtime.
 
     Round-5 layout fix: the original kernel carried each conv-history
     ring as a 3-D (tile, d, cin) VMEM block, whose size-1 slices of the
@@ -756,14 +760,17 @@ def make_fused_encoder_step(feature_dim: int, latent_dim: int,
     is a static lane-aligned 2-D slice.  encoder_state_zero emits the
     flat layout.
 
-    Measured keep-or-retire (round 5, work/sweep_enc.log + repeat
-    sweep_enc2.log, same-session interleaves at B=2048, scan=256):
-    plain XLA tx 1.27M/1.41M audio-s/s across the two sessions vs this
-    kernel at tile=256 1.48M/1.52M — a consistent +8-16% KEEP for batch
-    tx serving with tile=256.  tile=512 measured 1.68M once and 1.32M
-    on repeat (relay timing variance; don't trust single-session wins),
-    tile=128 is a wash.  (Single-stream tx B=1 stays on the plain XLA
-    path: a tile-1 kernel has no batch to fill the MXU with.)"""
+    Measured keep-or-retire (round 5, work/sweep_enc{,2,3,4}.log — four
+    sessions of same-session interleaves at B=2048, scan=256): plain XLA
+    tx 1.27-1.41M audio-s/s; fused f32 tile=256 1.48-1.62M (consistent
+    same-session win, within-session controls stable to <1%); fused f32
+    tile=512 swings 1.32-1.68M between sessions; **fused int8 tile=512
+    1.67-1.72M reproducibly across sessions** — int8's 4x VMEM shrink
+    appears to stabilise the big tile, and it beats every same-session
+    f32 rung by +3-6%.  Batch tx serving default: quant="int8",
+    tile=512 (~+25-30% over plain XLA).  (Single-stream tx B=1 stays on
+    the plain XLA path: a tile-1 kernel has no batch to fill the MXU
+    with.)"""
     assert batch % tile == 0
     n_tiles = batch // tile
     dils = [d for _, _, d in _ENC_CONV_DIMS]
@@ -772,12 +779,15 @@ def make_fused_encoder_step(feature_dim: int, latent_dim: int,
     in_dim = FRAMES_PER_STEP * feature_dim
 
     NW = 2 + 5 * 7 + 2      # dense_1 + 5 x (gru4 + conv3) + z_dense
+    NS = 22 if quant else 0  # scale row per 2-D operand (encoder_weights)
+    cd = compute_dtype
 
     def kernel(f_ref, *refs):
         w = refs[:NW]
-        state_in = refs[NW:NW + 10]
-        out_ref = refs[NW + 10]
-        state_out = refs[NW + 11:]
+        sc = refs[NW:NW + NS]
+        state_in = refs[NW + NS:NW + NS + 10]
+        out_ref = refs[NW + NS + 10]
+        state_out = refs[NW + NS + 11:]
 
         d1_w, d1_b = w[0], w[1]
         rest = w[2:]
@@ -787,23 +797,33 @@ def make_fused_encoder_step(feature_dim: int, latent_dim: int,
         # columns in the gap; window 0 is the oldest tap (d steps ago)
         hist = [state_in[5 + i][:] for i in range(5)]
 
+        def dot(a, b, si=None):
+            r = jnp.dot(a.astype(cd), b.astype(cd) if quant else b,
+                        preferred_element_type=jnp.float32)
+            if quant and si is not None:
+                r = r * sc[si][:]
+            return r
+
+        def s(si):
+            return sc[si][:] if quant else None
+
         for step in range(nz):
             f = f_ref[:, step, :]
-            x = jnp.tanh(jnp.dot(f, d1_w[:],
-                                 preferred_element_type=jnp.float32) + d1_b[:])
+            x = jnp.tanh(dot(f, d1_w[:], 0) + d1_b[:])
             wi = 0
             for i in range(5):
                 wih, whh, bih, bhh, cw0, cw1, cb = rest[wi:wi + 7]
                 wi += 7
-                h[i] = _gru_step(wih[:], bih[:], whh[:], bhh[:], x, h[i])
+                # scale order of appearance: d1, per layer
+                # (wih, whh, cw0, cw1), then out (see _fused_weights)
+                h[i] = _gru_step(wih[:], bih[:], whh[:], bhh[:], x, h[i],
+                                 cd=cd, s_ih=s(1 + 4 * i),
+                                 s_hh=s(2 + 4 * i))
                 x = jnp.concatenate([x, h[i]], axis=-1)
                 cin, c128 = cins[i], c128s[i]
                 x_old = hist[i][:, :cin]             # oldest tap window
-                yc = jnp.tanh(jnp.dot(x_old, cw0[:],
-                                      preferred_element_type=jnp.float32)
-                              + jnp.dot(x, cw1[:],
-                                        preferred_element_type=jnp.float32)
-                              + cb[:])
+                yc = jnp.tanh(dot(x_old, cw0[:], 3 + 4 * i)
+                              + dot(x, cw1[:], 4 + 4 * i) + cb[:])
                 xp = (x if cin == c128 else
                       jnp.pad(x, ((0, 0), (0, c128 - cin))))
                 if dils[i] == 1:
@@ -813,8 +833,7 @@ def make_fused_encoder_step(feature_dim: int, latent_dim: int,
                                               axis=1)
                 x = jnp.concatenate([x, yc], axis=-1)
             out_w, out_b = w[NW - 2], w[NW - 1]
-            z = jnp.dot(x, out_w[:],
-                        preferred_element_type=jnp.float32) + out_b[:]
+            z = dot(x, out_w[:], 21) + out_b[:]
             if bottleneck == 1:
                 z = jnp.tanh(z)
             out_ref[:, step, :] = z
@@ -869,6 +888,9 @@ def encoder_state_zero(batch):
     return tuple(s)
 
 
-def encoder_weights(params, dtype=jnp.float32):
-    arrs, _, _ = _fused_weights(params, "encoder", dtype=dtype)
-    return tuple(arrs)
+def encoder_weights(params, dtype=jnp.float32, quant=None,
+                    quant_exclude=()):
+    arrs, _, scales = _fused_weights(params, "encoder", dtype=dtype,
+                                     quant=quant,
+                                     quant_exclude=quant_exclude)
+    return tuple(arrs) + tuple(scales)

@@ -476,21 +476,23 @@ def make_batched_receiver(cfg: RADAEConfig, decoder: CoreDecoder,
 
 def make_streaming_tx_step(cfg: RADAEConfig, encoder: CoreEncoder,
                            batch: int, fused: bool = False,
-                           fused_tile: int = 512):
+                           fused_tile: int = 512, fused_quant=None):
     """Jitted batched streaming tx step.
 
     step(enc_params, features (B, 12, F), enc_state)
       -> (tx_packed (B, Nmf, 2), new_state)
 
     With fused=True the encoder runs as the Pallas VMEM-resident kernel;
-    enc_params/enc_state must then be the fused tuples."""
+    enc_params/enc_state must then be the fused tuples (built with the
+    same quant= flag as fused_quant here)."""
     # one modem frame: Nzmf z-vectors -> Ns data symbol rows
     n_rs = cfg.Nzmf * cfg.latent_dim // (cfg.bps * cfg.Nc)
     if fused:
         from .ops.fused_core import make_fused_encoder_step
         enc_step = make_fused_encoder_step(
             cfg.feature_dim, cfg.latent_dim, batch,
-            tile=min(fused_tile, batch), bottleneck=cfg.bottleneck)
+            tile=min(fused_tile, batch), bottleneck=cfg.bottleneck,
+            quant=fused_quant)
 
     def step(enc_params, features, enc_state):
         B = features.shape[0]

@@ -5,8 +5,9 @@ the serving surface of runtime.make_streaming_tx_step.
 The streaming `txe` app mirrors the reference's radae_txe.py one frame at
 a time; this tool batches B independent streams through one scan-chained
 program (stateful encoder + OFDM mod + PA model per frame), optionally
-through the Pallas VMEM-resident fused encoder kernel (measured +8-16%
-over plain XLA at serving batch with tile=256, work/sweep_enc{,2}.log).
+through the Pallas VMEM-resident fused encoder kernel with int8 weights
+(measured 1.67-1.72M audio-s/s vs 1.27-1.41M plain XLA at B=2048 across
+sessions, work/sweep_enc{,2,3,4}.log).
 
     python -m radae_tpu tx_batch model.npz out_dir in1_feat.f32 [...]
 
@@ -80,11 +81,14 @@ def main(argv=None):
             feats[b, :, NUM_USED_FEATURES] = -1.0
 
     step = make_streaming_tx_step(cfg, encoder, B, fused=args.fused,
-                                  fused_tile=min(256, B))
+                                  fused_tile=min(512, B),
+                                  fused_quant="int8" if args.fused
+                                  else None)
     if args.fused:
         from ..ops.fused_core import encoder_weights, encoder_state_zero
         enc_params = tuple(jax.device_put(w)
-                           for w in encoder_weights(params["encoder"]))
+                           for w in encoder_weights(params["encoder"],
+                                                    quant="int8"))
         state0 = encoder_state_zero(B)
     else:
         enc_params = device_put_tree(params["encoder"])

@@ -134,6 +134,36 @@ def test_fused_encoder_parity_and_state():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_fused_encoder_int8_parity():
+    """int8 VMEM-resident encoder weights (per-output-column scales,
+    output-side dequant — the decoder kernel's and the C runtime's
+    contract): z output must stay inside the quantization dither ball
+    the net is trained with (+-1/254 per layer activation), mirroring
+    the decoder int8 parity bound."""
+    from radae_tpu.models.core import CoreEncoder
+    from radae_tpu.ops.fused_core import (
+        make_fused_encoder_step, encoder_state_zero, encoder_weights)
+    enc = CoreEncoder(21, 80, bottleneck=3)
+    params = enc.init(0)
+    B = 8
+    step_f = make_fused_encoder_step(21, 80, B, tile=4, interpret=True)
+    step_q = make_fused_encoder_step(21, 80, B, tile=4, quant="int8",
+                                     interpret=True)
+    w_f = encoder_weights(params)
+    w_q = encoder_weights(params, quant="int8")
+    st_f = encoder_state_zero(B)
+    st_q = encoder_state_zero(B)
+    rng = np.random.default_rng(3)
+    worst = 0.0
+    for i in range(3):
+        feats = (rng.standard_normal((B, 12, 21)) * 0.3).astype(np.float32)
+        z_f, st_f = step_f(w_f, feats, *st_f)
+        z_q, st_q = step_q(w_q, feats, *st_q)
+        worst = max(worst, float(np.abs(np.asarray(z_q)
+                                        - np.asarray(z_f)).max()))
+    assert worst < 0.05, worst     # dither-ball scale, not bit parity
+
+
 def test_fused_runtime_tx_step_matches_unfused():
     import jax
     from radae_tpu.config import flagship_config

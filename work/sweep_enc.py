@@ -28,17 +28,18 @@ from radae_tpu.utils.hostio import device_put_tree            # noqa: E402
 cfg = flagship_config()
 SCAN = 256
 
-def measure(batch, fused, tile):
+def measure(batch, fused, tile, quant=None):
     encoder = CoreEncoder(cfg.feature_dim, cfg.latent_dim,
                           bottleneck=cfg.bottleneck)
     enc_params_tree = encoder.init(1)
     step = make_streaming_tx_step(cfg, encoder, batch, fused=fused,
-                                  fused_tile=tile)
+                                  fused_tile=tile, fused_quant=quant)
     if fused:
         from radae_tpu.ops.fused_core import (encoder_weights,
                                               encoder_state_zero)
         params = tuple(jax.device_put(w)
-                       for w in encoder_weights(enc_params_tree))
+                       for w in encoder_weights(enc_params_tree,
+                                                quant=quant))
         mkstate = lambda: encoder_state_zero(batch)
     else:
         params = device_put_tree(enc_params_tree)
@@ -75,14 +76,20 @@ def measure(batch, fused, tile):
     return batch * cfg.Tmf / dt, dt
 
 
-for batch, fused, tile in [(2048, False, 0), (2048, True, 256),
-                           (2048, True, 128), (2048, True, 512)]:
-    t0 = time.time()
-    try:
-        v, dt = measure(batch, fused, tile)
-        print(f"tx B={batch} fused={fused} tile={tile}: {v:12,.0f} "
-              f"audio-s/s ({dt*1e3:.3f} ms/frame, wall {time.time()-t0:.0f}s)",
-              flush=True)
-    except Exception as e:
-        print(f"tx B={batch} fused={fused} tile={tile}: FAILED "
-              f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+if __name__ == "__main__":
+    import json
+    cfgs = [(2048, False, 0, None), (2048, True, 256, None),
+            (2048, True, 256, "int8"), (2048, True, 512, "int8"),
+            (2048, True, 256, None)]           # control repeat
+    if len(sys.argv) > 1:                      # custom rung list as JSON
+        cfgs = [tuple(c) for c in json.loads(sys.argv[1])]
+    for batch, fused, tile, quant in cfgs:
+        t0 = time.time()
+        try:
+            v, dt = measure(batch, fused, tile, quant)
+            print(f"tx B={batch} fused={fused} tile={tile} quant={quant}: "
+                  f"{v:12,.0f} audio-s/s ({dt*1e3:.3f} ms/frame, "
+                  f"wall {time.time()-t0:.0f}s)", flush=True)
+        except Exception as e:
+            print(f"tx B={batch} fused={fused} tile={tile} quant={quant}: "
+                  f"FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
