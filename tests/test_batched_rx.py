@@ -874,6 +874,40 @@ def test_tx_batch_rx_batch_roundtrip(flagship, tmp_path):
         assert loss < 0.6, (k, loss)
 
 
+def test_tx_batch_fused_int8_matches_plain(flagship, tmp_path):
+    """tx_batch --fused (the shipped int8 tile=512 serving config) must
+    produce modem samples equivalent to the plain path within the int8
+    dither ball (interpret-mode kernel on CPU)."""
+    from radae_tpu.ops import fused_core
+    from radae_tpu.tools import tx_batch
+
+    params, feats = flagship
+    ckpt = os.path.join(FIX, "model_fs_flagship.npz")
+    f36 = np.zeros((4 * 12, 36), np.float32)
+    f36[:, :20] = feats[: 4 * 12, :20]
+    fn = tmp_path / "in.f32"
+    f36.astype(np.float32).tofile(fn)
+
+    assert tx_batch.main([ckpt, str(tmp_path / "plain"), str(fn)]) == 0
+
+    orig = fused_core.make_fused_encoder_step
+    fused_core.make_fused_encoder_step = (
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    try:
+        assert tx_batch.main([ckpt, str(tmp_path / "fused"), str(fn),
+                              "--fused"]) == 0
+    finally:
+        fused_core.make_fused_encoder_step = orig
+
+    a = np.fromfile(tmp_path / "plain" / "in_iq.f32", np.complex64)
+    b = np.fromfile(tmp_path / "fused" / "in_iq.f32", np.complex64)
+    assert len(a) == len(b)
+    # int8 weights wander within the trained +-1/254 activation dither;
+    # bottleneck-3 samples are bounded by 1, so absolute tolerance works
+    assert np.abs(a - b).max() < 0.1, np.abs(a - b).max()
+    assert np.abs(a - b).mean() < 0.02, np.abs(a - b).mean()
+
+
 def test_barrel_shift_alignment_matches_gather_semantics():
     """The receiver's gather-free alignment (log2(Nmf) conditional static
     shifts + derotate-after-align phasor tables) must reproduce the
